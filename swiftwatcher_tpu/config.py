@@ -1,0 +1,113 @@
+"""Typed configuration for the swiftwatcher-tpu pipeline.
+
+Every algorithm constant that the reference hardcodes as a literal is a named
+field here, so parity configurations are explicit and sweepable.  Reference
+call sites for each default are cited inline (paths relative to
+/root/reference/swiftwatcher/).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import Tuple
+
+
+@dataclasses.dataclass(frozen=True)
+class PipelineConfig:
+    """All tunables of the swift counting pipeline.
+
+    Defaults replicate the reference exactly (see citations per field).
+    """
+
+    # ----- windowing -------------------------------------------------------
+    # data_structures.py:120  FrameQueue(queue_size=21)
+    window_size: int = 21
+
+    # ----- RPCA / IALM ------------------------------------------------------
+    # image_filtering.py:256  inexact_augmented_lagrange_multiplier defaults
+    rpca_lambda: float = 0.01
+    rpca_tol: float = 0.001
+    rpca_max_iter: int = 100
+    rpca_rho: float = 1.5            # image_filtering.py:277
+    rpca_mu_cap: float = 1e7         # image_filtering.py:295 (mu*1e7 cap factor)
+
+    # ----- motion post-filtering -------------------------------------------
+    # data_structures.py:194  bilateral_blur(frame, 7, 15, 1)
+    bilateral_d: int = 7
+    bilateral_sigma_color: float = 15.0
+    bilateral_sigma_space: float = 1.0
+    # data_structures.py:198  thresh_to_zero(frame, 15)
+    motion_threshold: int = 15
+    # data_structures.py:202  grayscale_opening(frame, (3, 3))
+    opening_size: Tuple[int, int] = (3, 3)
+
+    # ----- segmentation -----------------------------------------------------
+    # image_filtering.py:329: labels cast to uint8 -> max 255 distinct labels,
+    # labels alias mod 256.  Table capacity of 256 reproduces that exactly
+    # (slot k holds the union of all components whose compacted label ≡ k).
+    label_modulus: int = 256
+    # Max CCL propagation sweeps (bounded flood fill; birds are small blobs).
+    ccl_max_iters: int = 256
+    # __main__.py:78  min segment bbox size for crop extraction
+    min_seg_size: Tuple[int, int] = (24, 24)
+
+    # ----- tracking ---------------------------------------------------------
+    # segment_tracking.py:196  dist_cost = 2 ** (dist - 25)
+    dist_cost_knee: float = 25.0
+    # segment_tracking.py:241  angle_cost = 2 ** (angle_difference - 90)
+    angle_cost_knee: float = 90.0
+    # segment_tracking.py:254  non-match cost
+    nonmatch_cost: float = 1.0
+    # Track-table capacity for the on-device tracking scan (padded); the host
+    # tracker is capacity-free.  Realistic frames hold <10 segments.
+    max_tracks: int = 24
+    # Exponent clamp for finite-precision cost computation on device (any
+    # clamped entry is already astronomically above the non-match cost 1, so
+    # the assignment is unchanged; avoids f32 inf in the LAP solver).
+    cost_exp_clamp: float = 60.0
+
+    # ----- event classification --------------------------------------------
+    # event_classification.py:95  drop angles that are multiples of 15 deg
+    false_angle_multiple: float = 15.0
+    # event_classification.py:110-114  label 1 iff angle in (mode-30, mode+30)
+    angle_band_halfwidth: float = 30.0
+    # event_classification.py:124  36-bin histogram over [-180, 180]
+    angle_hist_bins: int = 36
+    # event_classification.py:131  mode only trusted inside (-135, -45)
+    mode_valid_range: Tuple[float, float] = (-135.0, -45.0)
+    default_mode: float = -90.0      # event_classification.py:139
+
+    # ----- geometry ---------------------------------------------------------
+    # image_filtering.py:50-51  crop box ratios (1.25w x 0.625w)
+    crop_side_ratio: float = 0.125
+    crop_up_ratio: float = 0.5
+    crop_down_ratio: float = 0.125
+    # image_filtering.py:72-73  ROI strip ratios
+    roi_inset_ratio: float = 0.025
+    roi_height_ratio: float = 0.25
+    # image_filtering.py:24  fixed resize dim (unused downstream, kept for
+    # interface parity with generate_regions)
+    resize_dim: Tuple[int, int] = (300, 150)
+    # image_filtering.py:105-110  ROI mask build constants
+    roi_median_ksize: int = 9
+    roi_dilate_n: int = 20
+
+    # ----- classifier --------------------------------------------------------
+    # segment_classification.py:18-24 preprocessing constants
+    cnn_input_size: int = 224
+    cnn_resize_to: int = 24
+    cnn_mean: Tuple[float, float, float] = (0.485, 0.456, 0.406)
+    cnn_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
+    # Per-window cap on segments routed through the CNN (padded batch).
+    cnn_batch_cap: int = 64
+
+    # ----- execution ---------------------------------------------------------
+    # Compute dtype for the IALM loop.  float32 is the TPU-native choice; the
+    # reference runs float64 NumPy.  Tests may use float64 on CPU for
+    # bit-accurate checks.
+    rpca_dtype: str = "float32"
+    # Number of host prefetch buffers for window streaming.
+    prefetch_depth: int = 2
+
+
+DEFAULT_CONFIG = PipelineConfig()

@@ -1,0 +1,133 @@
+"""Per-frame motion post-filters: bilateral blur, threshold-to-zero, opening.
+
+These replicate, on device, the per-frame OpenCV/scipy calls of the
+reference's hot loop (data_structures.py:194-204):
+
+    bilateral_blur(frame, d=7, sigmaColor=15, sigmaSpace=1)   cv2 C++
+    thresh_to_zero(frame, 15)                                 cv2 C++
+    grayscale_opening(frame, (3, 3))                          scipy.ndimage C
+
+Semantics notes:
+  * cv2.bilateralFilter with d=7 uses radius 3 and a *circular* neighborhood
+    (offsets with sqrt(i^2+j^2) <= radius), float32 space/color weight LUTs,
+    BORDER_REFLECT_101 padding, and rounds sum/wsum half-to-even.
+  * cv2.THRESH_TOZERO keeps values strictly greater than the threshold.
+  * scipy.ndimage.grey_opening uses mode='reflect' borders; for a 3x3
+    footprint (1-pixel reach) that equals edge replication.
+
+All functions are batch-first: input (..., H, W) uint8.
+"""
+
+from __future__ import annotations
+
+import functools
+import math
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+
+
+def _bilateral_offsets(radius: int) -> Tuple[Tuple[int, int, float], ...]:
+    """Circular neighborhood offsets (i, j, r^2), in cv2's scan order."""
+    offs = []
+    for i in range(-radius, radius + 1):
+        for j in range(-radius, radius + 1):
+            r = math.sqrt(i * i + j * j)
+            if r > radius:
+                continue
+            offs.append((i, j, r * r))
+    return tuple(offs)
+
+
+@functools.partial(jax.jit, static_argnames=("d", "sigma_color", "sigma_space"))
+def bilateral_blur(
+    frames: jnp.ndarray,
+    d: int = 7,
+    sigma_color: float = 15.0,
+    sigma_space: float = 1.0,
+) -> jnp.ndarray:
+    """cv2.bilateralFilter-parity bilateral blur over uint8 frames.
+
+    Args:
+      frames: (..., H, W) uint8.
+    Returns:
+      (..., H, W) uint8.
+    """
+    radius = max(d // 2, 1)
+    gauss_color = -0.5 / (sigma_color * sigma_color)
+    gauss_space = -0.5 / (sigma_space * sigma_space)
+
+    # Precomputed float32 color-weight LUT, as in cv2.
+    diffs = jnp.arange(256, dtype=jnp.float32)
+    color_lut = jnp.exp(diffs * diffs * gauss_color).astype(jnp.float32)
+
+    pad = [(0, 0)] * (frames.ndim - 2) + [(radius, radius), (radius, radius)]
+    padded = jnp.pad(frames, pad, mode="reflect")  # BORDER_REFLECT_101
+    center = frames.astype(jnp.int32)
+
+    H, W = frames.shape[-2], frames.shape[-1]
+    num = jnp.zeros(frames.shape, jnp.float32)
+    den = jnp.zeros(frames.shape, jnp.float32)
+    for i, j, r2 in _bilateral_offsets(radius):
+        sw = jnp.float32(math.exp(r2 * gauss_space))
+        shifted = jax.lax.slice_in_dim(
+            jax.lax.slice_in_dim(padded, radius + i, radius + i + H, axis=frames.ndim - 2),
+            radius + j,
+            radius + j + W,
+            axis=frames.ndim - 1,
+        )
+        sv = shifted.astype(jnp.int32)
+        w = sw * color_lut[jnp.abs(sv - center)]
+        num = num + w * sv.astype(jnp.float32)
+        den = den + w
+    # cvRound: round half to even.
+    out = jnp.round(num / den)
+    return jnp.clip(out, 0, 255).astype(jnp.uint8)
+
+
+def thresh_to_zero(frames: jnp.ndarray, thresh: int) -> jnp.ndarray:
+    """cv2.THRESH_TOZERO: keep values strictly above `thresh`, else 0."""
+    return jnp.where(frames > thresh, frames, jnp.zeros_like(frames))
+
+
+def _pool2d(frames: jnp.ndarray, size: Tuple[int, int], op: str) -> jnp.ndarray:
+    """Min/max pool with edge-replicate borders (ndimage 'reflect' for 1-px
+    reach) over the trailing two dims, stride 1, same shape out."""
+    kh, kw = size
+    ph_lo, ph_hi = (kh - 1) // 2, kh // 2
+    pw_lo, pw_hi = (kw - 1) // 2, kw // 2
+    pad = [(0, 0)] * (frames.ndim - 2) + [(ph_lo, ph_hi), (pw_lo, pw_hi)]
+    padded = jnp.pad(frames, pad, mode="edge")
+    init = jnp.iinfo(frames.dtype).max if op == "min" else jnp.iinfo(frames.dtype).min
+    reducer = jax.lax.min if op == "min" else jax.lax.max
+    window = (1,) * (frames.ndim - 2) + (kh, kw)
+    strides = (1,) * frames.ndim
+    return jax.lax.reduce_window(
+        padded,
+        jnp.asarray(init, frames.dtype),
+        reducer,
+        window_dimensions=window,
+        window_strides=strides,
+        padding="VALID",
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("size",))
+def grayscale_opening(frames: jnp.ndarray, size: Tuple[int, int] = (3, 3)) -> jnp.ndarray:
+    """scipy.ndimage.grey_opening parity: erosion then dilation, reflect borders."""
+    return _pool2d(_pool2d(frames, size, "min"), size, "max")
+
+
+def motion_postfilter(
+    motion: jnp.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> jnp.ndarray:
+    """bilateral -> thresh-to-zero -> 3x3 opening, as in segment_queue
+    (data_structures.py:187-204)."""
+    x = bilateral_blur(
+        motion, cfg.bilateral_d, cfg.bilateral_sigma_color, cfg.bilateral_sigma_space
+    )
+    x = thresh_to_zero(x, cfg.motion_threshold)
+    return grayscale_opening(x, cfg.opening_size)
