@@ -1,0 +1,124 @@
+"""CCL + region tables vs cv2.connectedComponents and hand-rolled regionprops."""
+
+import cv2
+import numpy as np
+import pytest
+
+from swiftwatcher_tpu.ops.ccl import label_components, wrap_labels_uint8
+from swiftwatcher_tpu.ops.props import region_tables
+
+
+def _partition_equal(a, b):
+    """Same pixel partition: bijection between label values of a and b."""
+    assert (a > 0).sum() == (b > 0).sum()
+    fg = a > 0
+    pairs = set(zip(a[fg].ravel().tolist(), b[fg].ravel().tolist()))
+    return (
+        len(pairs) == len({p[0] for p in pairs}) == len({p[1] for p in pairs})
+    )
+
+
+def _random_blobs(rng, H, W, density=0.25):
+    img = (rng.random((H, W)) > (1 - density)).astype(np.uint8) * 255
+    return img
+
+
+@pytest.mark.parametrize("density", [0.05, 0.25, 0.45])
+def test_ccl_partition_matches_cv2(rng, density):
+    imgs = np.stack([_random_blobs(rng, 37, 61, density) for _ in range(6)])
+    labels, counts = label_components(imgs > 0)
+    labels = np.asarray(labels)
+    for t in range(6):
+        n_cv, lbl_cv = cv2.connectedComponents(imgs[t])  # default 8-conn
+        assert int(counts[t]) == n_cv - 1
+        assert _partition_equal(lbl_cv, labels[t])
+
+
+def test_ccl_labels_are_raster_first_occurrence(rng):
+    imgs = np.stack([_random_blobs(rng, 25, 33, 0.3) for _ in range(3)])
+    labels, _ = label_components(imgs > 0)
+    labels = np.asarray(labels)
+    for t in range(3):
+        seen = []
+        for v in labels[t].ravel():
+            if v != 0 and v not in seen:
+                seen.append(int(v))
+        assert seen == sorted(seen)
+        assert seen == list(range(1, len(seen) + 1))
+
+
+def test_ccl_diagonal_connectivity():
+    # Two pixels touching only diagonally are ONE component under 8-conn
+    # (the reference's effective connectivity, SURVEY.md §2.1).
+    img = np.zeros((1, 8, 8), bool)
+    img[0, 2, 2] = True
+    img[0, 3, 3] = True
+    labels, counts = label_components(img)
+    assert int(counts[0]) == 1
+    assert int(np.asarray(labels)[0, 2, 2]) == int(np.asarray(labels)[0, 3, 3]) == 1
+
+
+def test_ccl_snake_converges():
+    # Long serpentine component: stresses propagation depth.
+    H, W = 32, 32
+    img = np.zeros((H, W), bool)
+    for r in range(0, H, 2):
+        img[r, :] = True
+        if (r // 2) % 2 == 0 and r + 1 < H:
+            img[r + 1, W - 1] = True
+        elif r + 1 < H:
+            img[r + 1, 0] = True
+    labels, counts = label_components(img[None])
+    assert int(counts[0]) == 1
+    lab = np.asarray(labels)[0]
+    assert set(np.unique(lab[img])) == {1}
+
+
+def test_uint8_wrap_aliases_like_reference(rng):
+    # >255 components: labels alias mod 256, label 256 collapses to bg.
+    img = np.zeros((40, 80), np.uint8)
+    img[::2, ::2] = 255  # 800 isolated pixels (spacing 2 defeats 8-conn)
+    labels, counts = label_components(img[None] > 0)
+    n = int(counts[0])
+    assert n == 20 * 40
+    wrapped = np.asarray(wrap_labels_uint8(labels))[0]
+    full = np.asarray(labels)[0]
+    np.testing.assert_array_equal(wrapped.astype(np.int32), full % 256)
+    # component with compacted label 256 vanished into background
+    assert (wrapped[full == 256] == 0).all()
+
+
+def test_region_tables_match_manual_regionprops(rng):
+    imgs = np.stack([_random_blobs(rng, 29, 41, 0.3) for _ in range(4)])
+    labels, _ = label_components(imgs > 0)
+    wrapped = np.asarray(wrap_labels_uint8(labels))
+    table = region_tables(wrapped)
+    for t in range(4):
+        lbl = wrapped[t]
+        for k in range(1, 256):
+            mask = lbl == k
+            if not mask.any():
+                assert not bool(np.asarray(table.valid)[t, k])
+                continue
+            ys, xs = np.nonzero(mask)
+            assert bool(np.asarray(table.valid)[t, k])
+            assert int(np.asarray(table.area)[t, k]) == len(ys)
+            # regionprops: centroid = coord means, bbox = (min, min, max+1, max+1)
+            np.testing.assert_allclose(
+                float(np.asarray(table.centroid_y)[t, k]), ys.mean(), rtol=1e-6
+            )
+            np.testing.assert_allclose(
+                float(np.asarray(table.centroid_x)[t, k]), xs.mean(), rtol=1e-6
+            )
+            assert int(np.asarray(table.min_y)[t, k]) == ys.min()
+            assert int(np.asarray(table.max_y)[t, k]) == ys.max() + 1
+            assert int(np.asarray(table.min_x)[t, k]) == xs.min()
+            assert int(np.asarray(table.max_x)[t, k]) == xs.max() + 1
+
+
+def test_region_tables_num_segments(rng):
+    imgs = np.stack([_random_blobs(rng, 20, 20, 0.2) for _ in range(2)])
+    labels, counts = label_components(imgs > 0)
+    table = region_tables(np.asarray(wrap_labels_uint8(labels)))
+    # below 256 components, num_segments == CCL counts
+    np.testing.assert_array_equal(np.asarray(table.num_segments), np.asarray(counts))
