@@ -1,0 +1,71 @@
+"""Console entry point: swiftwatcher-tpu.
+
+Reference parity for __main__.py:13-53: per video, open a frame source by
+suffix, resolve chimney corners (attributes.json or interactive picker),
+run the counting pipeline, and export PREDICTED/REJECTED CSVs next to the
+video (under --debug, into a versioned run directory).
+"""
+
+from __future__ import annotations
+
+import os
+import sys
+
+import jax
+
+# Persistent XLA compilation cache: the window program recompiles only per
+# chimney geometry; caching makes repeat runs start in seconds, not minutes.
+jax.config.update(
+    "jax_compilation_cache_dir",
+    os.environ.get("SWTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/swiftwatcher_tpu_xla")),
+)
+
+from . import ui
+from .config import DEFAULT_CONFIG
+from .io.readers import open_source
+from .pipeline.runner import run_video
+
+
+def main(argv=None) -> int:
+    args = ui.parse_args(argv)
+    filepaths = args.filepaths if args.filepaths else ui.select_filepaths()
+
+    for src_path in filepaths:
+        source = open_source(src_path, start=args.start, end=args.end if args.end > 0 else 0)
+
+        output_dir = src_path.parent / src_path.stem
+        attrs = output_dir / "attributes.json"
+        if attrs.is_file():
+            corners = ui.get_corners_from_file(attrs)
+        else:
+            corners = ui.select_chimney_corners(src_path)
+
+        segment_filter = None
+        if args.classify:
+            from .models.classifier import SqueezeNetSegmentFilter
+
+            segment_filter = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
+
+        ui.start_status(src_path.name)
+        result = run_video(
+            source,
+            corners,
+            DEFAULT_CONFIG,
+            export_dir=output_dir,
+            debug=args.debug,
+            segment_filter=segment_filter,
+            status_cb=ui.frames_processed_status,
+        )
+        if result.df_labels is None:
+            print("[!] No events detected in video '{}'.".format(src_path.stem))
+        else:
+            print(
+                "[-]     {} predicted / {} rejected swifts.".format(
+                    result.total_predicted, result.total_rejected
+                )
+            )
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())

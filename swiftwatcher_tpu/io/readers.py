@@ -1,0 +1,181 @@
+"""Frame sources with the reference's exact I/O semantics.
+
+Replicates FrameReader and subclasses (io_video.py:11-165):
+  * bounds check is INCLUSIVE of end_frame (io_video.py:40), so the frame at
+    index end_frame is requested even when the container holds end_frame
+    frames — the resulting decode failure substitutes the last good frame and
+    bumps read_errors (io_video.py:51-53), exactly one duplicated tail frame
+  * out-of-range requests yield a zeroed "null" frame with frame_number -1
+    and the string timestamp "00:00:00.000" (io_video.py:40-44); these flow
+    through the whole pipeline but are excluded from progress counting
+  * VideoFileSource is strictly sequential (retrieve-then-grab) and ignores
+    --start (io_video.py:146,155-165); only HDF5Source honors it
+  * timestamps assume constant fps (io_video.py:74-82)
+
+`get_window` returns a stacked uint8 batch ready for device_put, instead of
+the reference's Python list of frames.
+"""
+
+from __future__ import annotations
+
+from pathlib import Path
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+from .export import frame_timestamp
+
+NULL_TIMESTAMP = "00:00:00.000"
+
+
+class FrameSource:
+    """Base frame source; subclasses implement read_frame()."""
+
+    def __init__(self):
+        self.fps = 0.0
+        self.start_frame = 0
+        self.end_frame = 0
+        self.total_frames = 0
+        self.next_frame_number = 0
+        self.frame_shape = (0, 0, 0)
+        self.last_read_frame: Optional[np.ndarray] = None
+        self.frames_read = 0
+        self.read_errors = 0
+        self.filepath: Optional[Path] = None
+
+    def read_frame(self, frame_number: int, increment: bool = True):
+        raise NotImplementedError
+
+    def get_frame(self, frame_number: Optional[int] = None):
+        """(frame, frame_number, timestamp) with error fallback
+        (io_video.py:33-59)."""
+        if frame_number is None:
+            frame_number = self.next_frame_number
+
+        if not self.start_frame <= frame_number <= self.end_frame:
+            frame = np.zeros(self.frame_shape, np.uint8)
+            return frame, -1, NULL_TIMESTAMP
+
+        frame = self.read_frame(frame_number)
+        timestamp = frame_timestamp(frame_number, self.fps)
+        if frame is None:
+            frame = self.last_read_frame
+            self.read_errors += 1
+        else:
+            self.frame_shape = frame.shape
+            self.last_read_frame = frame
+            self.frames_read += 1
+        return frame, frame_number, timestamp
+
+    def get_window(self, n: int) -> Tuple[np.ndarray, List[int], List[object]]:
+        """n consecutive frames stacked (n, H, W, C) + numbers + timestamps
+        (io_video.py:61-72).  Null frames are zero images."""
+        frames, numbers, stamps = [], [], []
+        for _ in range(n):
+            f, num, ts = self.get_frame()
+            frames.append(f)
+            numbers.append(num)
+            stamps.append(ts)
+        # Null frames before any successful read have shape (0,0,0); broadcast
+        # them to the first real frame's shape for stacking.
+        shape = next((f.shape for f in frames if f.size), None)
+        if shape is not None:
+            frames = [f if f.size else np.zeros(shape, np.uint8) for f in frames]
+        return np.stack(frames), numbers, stamps
+
+
+class ArraySource(FrameSource):
+    """In-memory (N, H, W, 3) uint8 source (tests, benches, synthetic video).
+
+    Mirrors HDF5Source's start/end semantics, including the inclusive
+    end_frame quirk (a read at index N substitutes the last frame)."""
+
+    def __init__(self, frames: np.ndarray, fps: float = 30.0, start: int = 0, end: int = 0):
+        super().__init__()
+        self._frames = np.asarray(frames, np.uint8)
+        self.fps = float(fps)
+        self.start_frame = start
+        self.end_frame = end if end > 0 else len(self._frames)
+        self.next_frame_number = self.start_frame
+        self.total_frames = self.end_frame - self.start_frame
+        self.filepath = Path("synthetic.mem")
+
+    def read_frame(self, frame_number: int, increment: bool = True):
+        frame = (
+            self._frames[frame_number] if frame_number < len(self._frames) else None
+        )
+        if increment:
+            self.next_frame_number += 1
+        return frame
+
+
+class HDF5Source(FrameSource):
+    """HDF5 container of per-frame encoded images (io_video.py:85-131).
+
+    Dataset "VideoFrames"; fps/frame count from CAP_PROP_* attrs on the file
+    or dataset; frames decoded with cv2.imdecode."""
+
+    def __init__(self, filepath, start: int = 0, end: int = 0):
+        super().__init__()
+        import h5py
+
+        self.filepath = Path(filepath)
+        self._file = h5py.File(str(filepath), "r")
+        self._dset = self._file["VideoFrames"]
+        attrs = self._file.attrs if len(self._file.attrs) > 0 else self._dset.attrs
+        if len(attrs) == 0:
+            raise RuntimeError("HDF5 dataset does not carry CAP_PROP_* attrs.")
+        self.fps = float(attrs.get("CAP_PROP_FPS"))
+        self.start_frame = start
+        self.end_frame = end if end > 0 else int(attrs.get("CAP_PROP_FRAME_COUNT"))
+        self.next_frame_number = self.start_frame
+        self.total_frames = self.end_frame - self.start_frame
+
+    def read_frame(self, frame_number: int, increment: bool = True):
+        import cv2
+
+        try:
+            encoded = self._dset[frame_number]
+            frame = cv2.imdecode(encoded, cv2.IMREAD_COLOR)
+        except ValueError:
+            frame = None
+        if increment:
+            self.next_frame_number += 1
+        return frame
+
+
+class VideoFileSource(FrameSource):
+    """cv2.VideoCapture-backed source, strictly sequential
+    (io_video.py:134-165)."""
+
+    def __init__(self, filepath, end: int = 0):
+        super().__init__()
+        import cv2
+
+        self.filepath = Path(filepath)
+        self._cap = cv2.VideoCapture(str(filepath))
+        self._cap.grab()  # prime so retrieve() works for frame 0
+        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
+        self.start_frame = 0
+        self.end_frame = end if end > 0 else int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.next_frame_number = self.start_frame
+        self.total_frames = self.end_frame - self.start_frame
+
+    def read_frame(self, frame_number: int, increment: bool = True):
+        ok, frame = self._cap.retrieve()
+        if not ok:
+            frame = None
+        if increment:
+            self._cap.grab()
+            self.next_frame_number += 1
+        return frame
+
+
+def open_source(filepath, start: int = 0, end: int = 0) -> FrameSource:
+    """Pick a source by suffix (__main__.py:23-26)."""
+    p = Path(filepath)
+    if p.suffix in (".h5", ".hdf5"):
+        return HDF5Source(p, start, end)
+    if p.suffix == ".npy":
+        return ArraySource(np.load(p), fps=30.0, start=start, end=end)
+    return VideoFileSource(p, end)

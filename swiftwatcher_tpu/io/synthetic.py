@@ -1,0 +1,120 @@
+"""Synthetic surveillance-video generator with known swift counts.
+
+The reference had no automated tests; its quality story was ground-truth
+videos (SURVEY.md §4).  This generator is the rebuild's CI-runnable
+equivalent: a static sky+chimney scene with small dark "swifts" flying in
+and disappearing into the chimney mouth (countable events) plus distractor
+birds that cross the frame without entering (rejectable events).
+"""
+
+from __future__ import annotations
+
+import dataclasses
+from typing import List, Tuple
+
+import numpy as np
+
+
+@dataclasses.dataclass
+class SyntheticVideo:
+    frames: np.ndarray                 # (N, H, W, 3) uint8 BGR
+    corners: List[Tuple[int, int]]     # chimney top corners [(x1,y1),(x2,y2)]
+    fps: float
+    n_entering: int                    # swifts that dive into the chimney
+    n_crossing: int                    # distractors that leave the frame
+    n_vanishing: int                   # distractors that vanish inside the ROI
+
+
+def make_video(
+    seed: int = 0,
+    n_frames: int = 63,
+    H: int = 240,
+    W: int = 320,
+    n_entering: int = 2,
+    n_crossing: int = 1,
+    n_vanishing: int = 0,
+    fps: float = 30.0,
+    noise: int = 3,
+    dot: int = 4,
+    amp: int = 120,
+) -> SyntheticVideo:
+    """Build a synthetic clip.
+
+    Swift k enters the chimney mouth around frame (k+1) * n_frames //
+    (n_entering + 1), approaching from above at a steep angle; crossers fly
+    horizontally through the crop region (no event); vanishers fly nearly
+    horizontally and disappear inside the ROI band (a rejectable event:
+    wrong entry angle).
+    """
+    rng = np.random.default_rng(seed)
+    top, left, right = int(H * 0.55), int(W * 0.42), int(W * 0.60)
+    # corners are "clicked" slightly below the visible top, as a user would,
+    # so the sky->chimney transition lies inside the ROI strip and the Canny
+    # edge (not noise) defines the mask band
+    corners = [(left, top + 6), (right, top + 6)]
+    mouth_x = (left + right) // 2
+    mouth_y = top
+
+    sky = np.zeros((H, W, 3), np.int32)
+    sky[..., 0] = 210 + rng.integers(-10, 10)   # B
+    sky[..., 1] = 175
+    sky[..., 2] = 150
+    sky[top:, left:right] = (60, 52, 48)        # dark chimney stack
+    # mild vertical gradient so the scene isn't rank-1
+    grad = (np.linspace(0, 14, H).astype(np.int32))[:, None, None]
+    base = sky + grad
+
+    frames = np.zeros((n_frames, H, W, 3), np.int32)
+
+    # Actors get disjoint time blocks so blobs never merge — merged blobs
+    # confuse ANY tracker (incl. the reference) and break ground truth.
+    kinds = (
+        [("enter", k) for k in range(n_entering)]
+        + [("vanish", k) for k in range(n_vanishing)]
+        + [("cross", k) for k in range(n_crossing)]
+    )
+    paths = []  # list of (t0, t1, y(t), x(t))
+    if kinds:
+        block = max((n_frames - 4) // len(kinds), 8)
+        for i, (kind, k) in enumerate(kinds):
+            t0 = 2 + i * block
+            length = min(12, block - 3, n_frames - t0 - 2)
+            if length < 3:
+                continue
+            if kind == "enter":
+                # steep, consistent dives into the mouth (real swifts enter
+                # near-vertically; the classifier's mode band is +/-30 deg)
+                sx = mouth_x - 8 - 5 * k
+                sy = mouth_y - int(H * 0.24)
+                xs = np.linspace(sx, mouth_x + 2 + 2 * k, length)
+                ys = np.linspace(sy, mouth_y - dot, length)
+            elif kind == "vanish":
+                # nearly horizontal, ending inside the ROI band (slope avoids
+                # exact 15-degree angle multiples)
+                xs = np.linspace(mouth_x - int(W * 0.14), mouth_x + 2 * k, length)
+                ys = np.linspace(mouth_y - 9.0, mouth_y - 6.0, length)
+            else:
+                # crosses the whole crop and exits the far side (no event)
+                xs = np.linspace(left - int(W * 0.16), right + int(W * 0.16), length)
+                ys = np.full(length, float(mouth_y - 14 - 6 * k)) + np.linspace(
+                    0, 5, length
+                )
+            paths.append((t0, t0 + length, ys, xs))
+
+    for t in range(n_frames):
+        f = base + rng.integers(-noise, noise + 1, size=(H, W, 3))
+        for (t0, t1, ys, xs) in paths:
+            if t0 <= t < t1:
+                y, x = int(ys[t - t0]), int(xs[t - t0])
+                if 0 <= y < H - dot and 0 <= x < W - dot:
+                    f[y : y + dot, x : x + dot] -= amp
+        frames[t] = np.clip(f, 0, 255)
+
+    return SyntheticVideo(
+        frames=frames.astype(np.uint8),
+        corners=corners,
+        fps=fps,
+        n_entering=n_entering,
+        n_crossing=n_crossing,
+        n_vanishing=n_vanishing,
+    )

@@ -1,0 +1,77 @@
+"""The compiled per-window localization program.
+
+One jitted function consumes a (T, Hc, Wc, 3) uint8 BGR crop batch and emits
+fixed-capacity segment tables — the whole of the reference's
+preprocess_queue + segment_queue hot path (data_structures.py:171-217)
+as a single XLA program:
+
+    grayscale -> IALM RPCA -> bilateral(7,15,1) -> thresh-to-zero(15)
+    -> 3x3 grey opening -> 8-conn CCL -> uint8 label wrap -> region tables
+
+No per-frame Python, no dynamic shapes: recompiles only when the crop
+geometry (i.e. the chimney) changes.
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..ops.color import bgr_to_gray
+from ..ops.rpca import rpca_motion_window
+from ..ops.filtering import motion_postfilter
+from ..ops.ccl import label_components, wrap_labels_uint8
+from ..ops.props import RegionTable, region_tables
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def localize_window(
+    crop_bgr: jnp.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> Tuple[RegionTable, jnp.ndarray, jnp.ndarray]:
+    """(T, Hc, Wc, 3) uint8 BGR crop -> (RegionTable, labels_u8, ialm_iters).
+
+    labels_u8 is returned for debug/introspection parity with the
+    reference's named intermediate stages (data_structures.py:151-169).
+    """
+    gray = bgr_to_gray(crop_bgr)
+    motion, iters = rpca_motion_window(gray, cfg)
+    filtered = motion_postfilter(motion, cfg)
+    labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
+    labels_u8 = wrap_labels_uint8(labels)
+    table = region_tables(labels_u8)
+    return table, labels_u8, iters
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "keep_stages"))
+def localize_window_debug(
+    crop_bgr: jnp.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    keep_stages: bool = True,
+):
+    """Debug variant returning every named intermediate stage, mirroring the
+    reference's Frame.processed_frames OrderedDict keys."""
+    gray = bgr_to_gray(crop_bgr)
+    motion, iters = rpca_motion_window(gray, cfg)
+    from ..ops.filtering import bilateral_blur, thresh_to_zero, grayscale_opening
+
+    bil = bilateral_blur(
+        motion, cfg.bilateral_d, cfg.bilateral_sigma_color, cfg.bilateral_sigma_space
+    )
+    thr = thresh_to_zero(bil, cfg.motion_threshold)
+    opened = grayscale_opening(thr, cfg.opening_size)
+    labels, counts = label_components(opened > 0, cfg.ccl_max_iters)
+    labels_u8 = wrap_labels_uint8(labels)
+    table = region_tables(labels_u8)
+    stages = {
+        "grayscale": gray,
+        "RPCA": motion,
+        "bilateral": bil,
+        "thresh_15": thr,
+        "opened": opened,
+        "cc_labeling": labels_u8,
+    }
+    return table, stages, iters
