@@ -108,6 +108,9 @@ class PipelineConfig:
     rpca_dtype: str = "float32"
     # Number of host prefetch buffers for window streaming.
     prefetch_depth: int = 2
+    # Windows per device dispatch: amortizes host->device round-trip latency
+    # (the per-call overhead dwarfs compute for a single 21-frame window).
+    batch_windows: int = 4
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -67,9 +67,13 @@ class FrameSource:
             self.frames_read += 1
         return frame, frame_number, timestamp
 
-    def get_window(self, n: int) -> Tuple[np.ndarray, List[int], List[object]]:
-        """n consecutive frames stacked (n, H, W, C) + numbers + timestamps
-        (io_video.py:61-72).  Null frames are zero images."""
+    def get_window(self, n: int) -> Tuple[List[np.ndarray], List[int], List[object]]:
+        """n consecutive frames as a LIST (no copies) + numbers + timestamps
+        (io_video.py:61-72).  Null frames are zero images.
+
+        Returning references instead of a stacked array matters: stacking
+        full 1080p frames costs ~130 MB of memcpy per window — an order of
+        magnitude more than the crops the device actually consumes."""
         frames, numbers, stamps = [], [], []
         for _ in range(n):
             f, num, ts = self.get_frame()
@@ -77,11 +81,11 @@ class FrameSource:
             numbers.append(num)
             stamps.append(ts)
         # Null frames before any successful read have shape (0,0,0); broadcast
-        # them to the first real frame's shape for stacking.
+        # them to the first real frame's shape.
         shape = next((f.shape for f in frames if f.size), None)
         if shape is not None:
             frames = [f if f.size else np.zeros(shape, np.uint8) for f in frames]
-        return np.stack(frames), numbers, stamps
+        return frames, numbers, stamps
 
 
 class ArraySource(FrameSource):

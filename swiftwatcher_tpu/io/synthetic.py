@@ -25,6 +25,37 @@ class SyntheticVideo:
     n_vanishing: int                   # distractors that vanish inside the ROI
 
 
+class LoopingArraySource:
+    """Benchmark source: serves `total` frames by cycling a base clip.
+
+    Keeps host memory bounded for long benchmark runs (e.g. 840 frames of
+    1080p) while exercising the full reader semantics via ArraySource's
+    interface contract."""
+
+    def __init__(self, base_frames: np.ndarray, total: int, fps: float = 30.0):
+        from .readers import ArraySource
+
+        self._base = np.asarray(base_frames, np.uint8)
+        self._inner = ArraySource(self._base, fps=fps)
+        self._inner.end_frame = total
+        self._inner.total_frames = total
+        self._inner.read_frame = self._read_frame  # type: ignore[assignment]
+        self._total = total
+
+    def _read_frame(self, frame_number: int, increment: bool = True):
+        frame = (
+            self._base[frame_number % len(self._base)]
+            if frame_number < self._total
+            else None
+        )
+        if increment:
+            self._inner.next_frame_number += 1
+        return frame
+
+    def __getattr__(self, name):
+        return getattr(self._inner, name)
+
+
 def make_video(
     seed: int = 0,
     n_frames: int = 63,

@@ -1,0 +1,152 @@
+"""Segment classifier: SqueezeNet filter over window segment tables.
+
+Replicates SegmentClassifier (segment_classification.py:14-44): each
+detected segment's bbox is expanded to at least 24x24 (centered, floor/ceil
+split — extract_segment_images, image_filtering.py:338-369), the crop is
+taken from the FULL-resolution BGR frame offset by the crop-region origin,
+resized to 24x24 (PIL bilinear, exactly as torchvision's ToPILImage+Resize),
+zero-padded to 224x224, scaled to [0,1] and ImageNet-normalized — with the
+reference's channel-order quirk preserved: the BGR array is handed to the
+RGB-stat normalizer untouched.
+
+Unlike the reference (one forward per segment, batch size 1), all of a
+frame's segments run as one batched device forward.  keep = argmax == 1.
+"""
+
+from __future__ import annotations
+
+import math
+from pathlib import Path
+from typing import List, Optional, Sequence
+
+import numpy as np
+from PIL import Image
+
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from .squeezenet import forward, predict
+
+DEFAULT_WEIGHTS = Path(__file__).parent / "segment_classifier.npz"
+
+
+def expand_bbox(
+    bbox: Sequence[int], min_size: Sequence[int]
+) -> List[int]:
+    """Expand [y1, x1, y2, x2] to at least min_size, centered
+    (image_filtering.py:350-358)."""
+    y1, x1, y2, x2 = (int(v) for v in bbox)
+    h, w = y2 - y1, x2 - x1
+    if h < min_size[0]:
+        diff = min_size[0] - h
+        y1 -= math.floor(diff / 2)
+        y2 += math.ceil(diff / 2)
+    if w < min_size[1]:
+        diff = min_size[1] - w
+        x1 -= math.floor(diff / 2)
+        x2 += math.ceil(diff / 2)
+    return [y1, x1, y2, x2]
+
+
+def extract_segment_image(
+    frame_bgr: np.ndarray, bbox, crop_region, min_size
+) -> np.ndarray:
+    """Slice the expanded bbox from the full-resolution frame
+    (image_filtering.py:360-365; offsets are the crop-region origin)."""
+    y1, x1, y2, x2 = expand_bbox(bbox, min_size)
+    oy, ox = crop_region[0][1], crop_region[0][0]
+    return frame_bgr[y1 + oy : y2 + oy, x1 + ox : x2 + ox]
+
+
+def preprocess_segment(img_bgr: np.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG) -> np.ndarray:
+    """Segment crop -> (224, 224, 3) float32 normalized, torchvision parity
+    (segment_classification.py:18-24).  PIL does the 24x24 bilinear resize
+    (identical library to the reference's transform stack)."""
+    im = Image.fromarray(img_bgr)  # BGR bytes, interpreted as RGB — as the reference does
+    im = im.resize((cfg.cnn_resize_to, cfg.cnn_resize_to), Image.BILINEAR)
+    small = np.asarray(im, np.float32) / 255.0
+    pad = (cfg.cnn_input_size - cfg.cnn_resize_to) // 2
+    full = np.zeros((cfg.cnn_input_size, cfg.cnn_input_size, 3), np.float32)
+    full[pad : pad + cfg.cnn_resize_to, pad : pad + cfg.cnn_resize_to] = small
+    mean = np.asarray(cfg.cnn_mean, np.float32)
+    std = np.asarray(cfg.cnn_std, np.float32)
+    return (full - mean) / std
+
+
+class SqueezeNetSegmentFilter:
+    """segment_filter hook for pipeline.runner.run_video."""
+
+    def __init__(self, params, cfg: PipelineConfig = DEFAULT_CONFIG):
+        self.params = {k: jnp.asarray(v) for k, v in params.items()}
+        self.cfg = cfg
+
+    @classmethod
+    def from_weights(cls, path, cfg: PipelineConfig = DEFAULT_CONFIG):
+        data = np.load(path)
+        return cls({k: data[k] for k in data.files}, cfg)
+
+    @classmethod
+    def from_default_weights(cls, cfg: PipelineConfig = DEFAULT_CONFIG):
+        if not DEFAULT_WEIGHTS.exists():
+            raise FileNotFoundError(
+                f"{DEFAULT_WEIGHTS} missing — run tools/convert_model.py "
+                "against a torch SqueezeNet state_dict first."
+            )
+        return cls.from_weights(DEFAULT_WEIGHTS, cfg)
+
+    def classify_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Batched keep-mask for raw segment crops.
+
+        Batches are padded to the next power of two (capped at
+        cfg.cnn_batch_cap) so XLA compiles a handful of batch shapes once
+        instead of one program per distinct segment count."""
+        if not images:
+            return np.zeros((0,), bool)
+        n = len(images)
+        cap = self.cfg.cnn_batch_cap
+        if n <= cap:
+            padded_n = 1
+            while padded_n < n:
+                padded_n *= 2
+        else:
+            padded_n = -(-n // cap) * cap
+        batch = np.zeros((padded_n, self.cfg.cnn_input_size,
+                          self.cfg.cnn_input_size, 3), np.float32)
+        for i, im in enumerate(images):
+            batch[i] = preprocess_segment(im, self.cfg)
+        pred = np.asarray(predict(self.params, jnp.asarray(batch)))
+        return pred[:n] == 1
+
+    def __call__(self, table, index, frame_bgr: np.ndarray, crop_region) -> List[bool]:
+        """runner segment_filter interface: keep-mask for frame `index`'s
+        valid segments (ascending label order)."""
+        if isinstance(index, tuple):
+            valid = np.asarray(table.valid[index[0], index[1]])
+            get = lambda a: np.asarray(a[index[0], index[1]])
+        else:
+            valid = np.asarray(table.valid[index])
+            get = lambda a: np.asarray(a[index])
+        ks = np.nonzero(valid)[0]
+        if len(ks) == 0:
+            return []
+        min_y, min_x = get(table.min_y), get(table.min_x)
+        max_y, max_x = get(table.max_y), get(table.max_x)
+        images, degenerate = [], []
+        for k in ks:
+            img = extract_segment_image(
+                frame_bgr,
+                (min_y[k], min_x[k], max_y[k], max_x[k]),
+                crop_region,
+                self.cfg.min_seg_size,
+            )
+            degenerate.append(img.size == 0)
+            images.append(img if img.size else None)
+        keep_pred = self.classify_images([im for im in images if im is not None])
+        keep, j = [], 0
+        for is_degenerate in degenerate:
+            if is_degenerate:
+                keep.append(False)  # reference would crash; we drop it
+            else:
+                keep.append(bool(keep_pred[j]))
+                j += 1
+        return keep

@@ -34,19 +34,23 @@ import jax
 import jax.numpy as jnp
 
 
-def _min_pool_8(lbl: jnp.ndarray, sentinel: int) -> jnp.ndarray:
-    """3x3 min over the trailing two dims, borders padded with sentinel."""
+def _min_pool_8(lbl: jnp.ndarray, sentinel: float) -> jnp.ndarray:
+    """3x3 min over the trailing two dims, borders padded with sentinel.
+
+    Implemented as an elementwise min of nine shifted slices (XLA fuses them
+    into one VPU pass) — measured much faster than lax.reduce_window for
+    this access pattern on TPU."""
     pad = [(0, 0)] * (lbl.ndim - 2) + [(1, 1), (1, 1)]
-    padded = jnp.pad(lbl, pad, mode="constant", constant_values=sentinel)
-    window = (1,) * (lbl.ndim - 2) + (3, 3)
-    return jax.lax.reduce_window(
-        padded,
-        jnp.asarray(sentinel, lbl.dtype),
-        jax.lax.min,
-        window_dimensions=window,
-        window_strides=(1,) * lbl.ndim,
-        padding="VALID",
-    )
+    p = jnp.pad(lbl, pad, mode="constant", constant_values=sentinel)
+    H, W = lbl.shape[-2], lbl.shape[-1]
+    ax_h, ax_w = lbl.ndim - 2, lbl.ndim - 1
+    out = None
+    for dy in range(3):
+        row = jax.lax.slice_in_dim(p, dy, dy + H, axis=ax_h)
+        for dx in range(3):
+            s = jax.lax.slice_in_dim(row, dx, dx + W, axis=ax_w)
+            out = s if out is None else jnp.minimum(out, s)
+    return out
 
 
 @functools.partial(jax.jit, static_argnames=("max_iters",))
@@ -56,37 +60,66 @@ def label_components(fg: jnp.ndarray, max_iters: int = 256) -> Tuple[jnp.ndarray
     Returns (labels, counts): labels is int32 (T, H, W) with background 0 and
     components numbered 1..N per frame in raster-first-occurrence order;
     counts is (T,) int32 per-frame component totals.
+
+    Two-phase propagation: XLA gathers are expensive on TPU (~10 ms per
+    (T, P) take_along_axis at this size) while 3x3 min-pools are cheap, and
+    swift blobs have tiny diameters — so phase 1 is gather-free pool-only
+    flooding (converges in ~diameter sweeps), and only if that hasn't
+    converged does phase 2 add pointer-jumping (path halving) per sweep for
+    pathological snake-like components, giving O(log diameter) there.
     """
     T, H, W = fg.shape
     P = H * W
-    sentinel = P  # larger than any linear index
+    # Labels propagate as float32: linear indices < 2^24 are exact in f32,
+    # and f32 min/compare is the VPU-native fast path (int32 is not).
+    assert P < (1 << 24), "crop too large for exact f32 label propagation"
+    sentinel = float(P)
 
-    idx = jax.lax.broadcasted_iota(jnp.int32, (T, H, W), 1) * W + jax.lax.broadcasted_iota(
-        jnp.int32, (T, H, W), 2
+    idx = (
+        jax.lax.broadcasted_iota(jnp.int32, (T, H, W), 1) * W
+        + jax.lax.broadcasted_iota(jnp.int32, (T, H, W), 2)
     )
-    lbl0 = jnp.where(fg, idx, sentinel)
+    lbl0 = jnp.where(fg, idx.astype(jnp.float32), jnp.float32(sentinel))
+    CHUNK = 4  # pools per convergence check (checks cost a full reduction)
+    phase1_iters = min(24, max_iters)
+
+    def pool_chunk(lbl):
+        for _ in range(CHUNK):
+            pooled = _min_pool_8(lbl, sentinel)
+            lbl = jnp.where(fg, jnp.minimum(lbl, pooled), sentinel)
+        return lbl
 
     # Sentinel row appended so background/sentinel gathers stay in range.
     def jump(lbl_flat):
         ext = jnp.concatenate(
-            [lbl_flat, jnp.full((T, 1), sentinel, jnp.int32)], axis=1
+            [lbl_flat, jnp.full((T, 1), jnp.float32(sentinel))], axis=1
         )
-        return jnp.take_along_axis(ext, lbl_flat, axis=1)
+        return jnp.take_along_axis(ext, lbl_flat.astype(jnp.int32), axis=1)
 
-    def body(state):
+    def phase1_body(state):
         lbl, _, it = state
-        pooled = _min_pool_8(lbl, sentinel)
-        cand = jnp.where(fg, jnp.minimum(lbl, pooled), sentinel)
-        flat = cand.reshape(T, P)
-        flat = jump(jump(flat))  # path halving x2
+        new = pool_chunk(lbl)
+        return new, jnp.any(new != lbl), it + CHUNK
+
+    def phase2_body(state):
+        lbl, _, it = state
+        cand = pool_chunk(lbl)
+        flat = jump(cand.reshape(T, P))
         new = jnp.where(fg, flat.reshape(T, H, W), sentinel)
-        return new, jnp.any(new != lbl), it + 1
+        return new, jnp.any(new != lbl), it + CHUNK
 
-    def cond(state):
-        _, changed, it = state
-        return jnp.logical_and(changed, it < max_iters)
+    def cond(limit):
+        def _c(state):
+            _, changed, it = state
+            return jnp.logical_and(changed, it < limit)
+        return _c
 
-    lbl, _, _ = jax.lax.while_loop(cond, body, (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32)))
+    init = (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    lbl, changed, _ = jax.lax.while_loop(cond(phase1_iters), phase1_body, init)
+    lbl, _, _ = jax.lax.while_loop(
+        cond(max_iters), phase2_body, (lbl, changed, jnp.asarray(0, jnp.int32))
+    )
+    lbl = lbl.astype(jnp.int32)
 
     # Compact: rank roots in raster order.
     is_root = jnp.logical_and(fg, lbl == idx)

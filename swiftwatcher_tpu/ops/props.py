@@ -14,8 +14,11 @@ pipeline compile once (SURVEY.md §7).
 
 from __future__ import annotations
 
+import functools
+
 import jax
 import jax.numpy as jnp
+import numpy as np
 import chex
 
 MAX_LABELS = 256  # uint8 label domain, slot 0 = background
@@ -25,8 +28,10 @@ MAX_LABELS = 256  # uint8 label domain, slot 0 = background
 class RegionTable:
     """Per-frame region statistics, padded to MAX_LABELS slots.
 
-    Shapes are (T, MAX_LABELS) unless noted. Sums are exact int32 so float
-    centroids can be derived at any precision downstream.
+    Shapes are (..., MAX_LABELS). Sums are int32 (accumulated in f32 on the
+    MXU — exact whenever a component's total coordinate mass stays below
+    2^24, i.e. for any realistically-sized segment) so float centroids can
+    be derived at any precision downstream.
     """
 
     area: jnp.ndarray      # int32 pixel count
@@ -51,41 +56,69 @@ class RegionTable:
         return jnp.sum(self.valid, axis=-1)
 
 
-@jax.jit
-def region_tables(labels_u8: jnp.ndarray) -> RegionTable:
-    """Compute RegionTable for a (T, H, W) uint8 label batch."""
-    T, H, W = labels_u8.shape
-    P = H * W
-    seg = labels_u8.reshape(T, P).astype(jnp.int32)
+@functools.partial(jax.jit, static_argnames=("with_bbox",))
+def region_tables(labels_u8: jnp.ndarray, with_bbox: bool = True) -> RegionTable:
+    """Compute RegionTable for a (..., H, W) uint8 label batch.
 
-    ys = jax.lax.broadcasted_iota(jnp.int32, (T, H, W), 1).reshape(T, P)
-    xs = jax.lax.broadcasted_iota(jnp.int32, (T, H, W), 2).reshape(T, P)
-    ones = jnp.ones((T, P), jnp.int32)
+    Moment accumulation is a one-hot matmul (MXU work: XLA fuses the
+    iota-compare one-hot into the dot) rather than scatter-adds, which are
+    slow on TPU.  Row/column extents come from per-row / per-column label
+    presence masks (matmul reductions again), avoiding scatter-min/max.
 
-    def per_frame(seg_f, ys_f, xs_f, ones_f):
-        area = jax.ops.segment_sum(ones_f, seg_f, num_segments=MAX_LABELS)
-        sum_y = jax.ops.segment_sum(ys_f, seg_f, num_segments=MAX_LABELS)
-        sum_x = jax.ops.segment_sum(xs_f, seg_f, num_segments=MAX_LABELS)
-        min_y = jax.ops.segment_min(ys_f, seg_f, num_segments=MAX_LABELS)
-        min_x = jax.ops.segment_min(xs_f, seg_f, num_segments=MAX_LABELS)
-        max_y = jax.ops.segment_max(ys_f, seg_f, num_segments=MAX_LABELS)
-        max_x = jax.ops.segment_max(xs_f, seg_f, num_segments=MAX_LABELS)
-        return area, sum_y, sum_x, min_y, min_x, max_y, max_x
+    with_bbox=False skips the bbox work: tracking and event detection only
+    use centroids (segment_tracking.py uses .centroid; bbox feeds only the
+    --classify / --export crop extraction).
+    """
+    *lead, H, W = labels_u8.shape
+    T = int(np.prod(lead)) if lead else 1
+    lab = labels_u8.reshape(T, H, W).astype(jnp.int32)
+    k_ids = jnp.arange(MAX_LABELS, dtype=jnp.int32)
 
-    area, sum_y, sum_x, min_y, min_x, max_y, max_x = jax.vmap(per_frame)(
-        seg, ys, xs, ones
+    # Per-row label counts: (T, H, MAX_LABELS) via one-hot sum over W.
+    onehot = (lab[..., None] == k_ids).astype(jnp.float32)  # fused by XLA
+    row_counts = jnp.einsum(
+        "thwk->thk", onehot, preferred_element_type=jnp.float32
     )
+    area_f = jnp.sum(row_counts, axis=1)
+    ys = jnp.arange(H, dtype=jnp.float32)
+    sum_y_f = jnp.einsum("thk,h->tk", row_counts, ys, preferred_element_type=jnp.float32)
+    xs = jnp.arange(W, dtype=jnp.float32)
+    sum_x_f = jnp.einsum("thwk,w->tk", onehot, xs, preferred_element_type=jnp.float32)
 
-    label_ids = jnp.arange(MAX_LABELS, dtype=jnp.int32)[None, :]
-    valid = jnp.logical_and(area > 0, label_ids != 0)
+    area = jnp.round(area_f).astype(jnp.int32)
+    sum_y = jnp.round(sum_y_f).astype(jnp.int32)
+    sum_x = jnp.round(sum_x_f).astype(jnp.int32)
+
+    valid = jnp.logical_and(area > 0, k_ids[None, :] != 0)
     zero = jnp.zeros_like(area)
+
+    if with_bbox:
+        BIG = jnp.int32(1 << 20)
+        row_has = row_counts > 0                       # (T, H, K)
+        col_has = jnp.einsum("thwk->twk", onehot) > 0  # (T, W, K)
+        yy = jnp.arange(H, dtype=jnp.int32)[None, :, None]
+        xx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
+        min_y = jnp.min(jnp.where(row_has, yy, BIG), axis=1)
+        max_y = jnp.max(jnp.where(row_has, yy, -1), axis=1)
+        min_x = jnp.min(jnp.where(col_has, xx, BIG), axis=1)
+        max_x = jnp.max(jnp.where(col_has, xx, -1), axis=1)
+        min_y = jnp.where(valid, min_y, zero)
+        min_x = jnp.where(valid, min_x, zero)
+        max_y = jnp.where(valid, max_y + 1, zero)      # exclusive, regionprops
+        max_x = jnp.where(valid, max_x + 1, zero)
+    else:
+        min_y = min_x = max_y = max_x = zero
+
+    def shape(a):
+        return a.reshape(*lead, MAX_LABELS) if lead else a[0]
+
     return RegionTable(
-        area=jnp.where(valid, area, zero),
-        sum_y=jnp.where(valid, sum_y, zero),
-        sum_x=jnp.where(valid, sum_x, zero),
-        min_y=jnp.where(valid, min_y, zero),
-        min_x=jnp.where(valid, min_x, zero),
-        max_y=jnp.where(valid, max_y + 1, zero),   # exclusive, regionprops bbox
-        max_x=jnp.where(valid, max_x + 1, zero),
-        valid=valid,
+        area=shape(jnp.where(valid, area, zero)),
+        sum_y=shape(jnp.where(valid, sum_y, zero)),
+        sum_x=shape(jnp.where(valid, sum_x, zero)),
+        min_y=shape(min_y),
+        min_x=shape(min_x),
+        max_y=shape(max_y),
+        max_x=shape(max_x),
+        valid=shape(valid),
     )

@@ -55,44 +55,58 @@ def _refined_eigh(G: jnp.ndarray, steps: int = 2):
     for parity with the reference's LAPACK SVD.  Costs a few TxT matmuls.
     """
     evals, V = jnp.linalg.eigh(G)
-    n = G.shape[0]
+    n = G.shape[-1]
     eye = jnp.eye(n, dtype=G.dtype)
+    VT = jnp.swapaxes(V, -1, -2)
     for _ in range(steps):
-        R = _mm(V.T, _mm(G, V))
-        d = jnp.diagonal(R)
-        diff = d[None, :] - d[:, None]
-        scale = jnp.max(jnp.abs(d)) + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
+        R = _mm(VT, _mm(G, V))
+        d = jnp.diagonal(R, axis1=-2, axis2=-1)
+        diff = d[..., None, :] - d[..., :, None]
+        scale = (
+            jnp.max(jnp.abs(d), axis=-1, keepdims=True)[..., None]
+            + jnp.asarray(jnp.finfo(G.dtype).tiny, G.dtype)
+        )
         # Skip (harmless) rotations within near-degenerate clusters.
         safe = jnp.where(jnp.abs(diff) > 1e-12 * scale, diff, jnp.inf)
         F = jnp.clip(R / safe, -0.5, 0.5)
-        F = F - jnp.diag(jnp.diagonal(F))
+        F = F * (1.0 - eye)
         V, _ = jnp.linalg.qr(_mm(V, eye + F))
+        VT = jnp.swapaxes(V, -1, -2)
         evals = d
     return evals, V
 
 
-def _row_space_svd(M: jnp.ndarray):
-    """(S, V) of tall-skinny M without Gram squaring.
+def _row_space_svd(M: jnp.ndarray, polish_steps: int = 2):
+    """(S, V) of tall-skinny M (..., P, T) to near-f32-machine accuracy,
+    using only matmuls and tiny eighs (TPU-native: no QR, no LAPACK).
 
-    Forming M^T M squares the condition number, which destroys the small
-    singular values in float32 once cond(M) exceeds ~1/sqrt(eps) — and the
-    IALM iterate's condition grows to ~1e5 near convergence.  Instead:
-      1. R = qr(M).R         (backward-stable Householder QR, cond preserved)
-      2. eigh of the Jordan-Wielandt embedding [[0, R^T], [R, 0]]
-         whose eigenpairs are (+/-sigma, (v; +/-u)/sqrt(2)).
-    The 2T x 2T eigh goes through `_refined_eigh` because XLA's eigh is a
-    fixed-sweep Jacobi solver that needs Newton polishing for full accuracy.
+    A plain Gram eigendecomposition (G = M^T M) destroys the small singular
+    values: G's entries carry absolute error eps*sigma_max^2, i.e. relative
+    error eps*cond(M)^2 on the small eigenvalues — fatal in f32 once
+    cond(M) > ~1/sqrt(eps), and the IALM iterate reaches cond ~ 1e5.
+
+    The fix is one-sided polishing (the accuracy mechanism of one-sided
+    Jacobi SVD): rotate the columns first, W = M V, THEN form C = W^T W.
+    Cross-dots of nearly-orthogonal small columns are computed from the
+    small vectors themselves, so C's off-diagonal error is eps*sigma_i*
+    sigma_j — full RELATIVE accuracy — and re-diagonalizing C (tiny eigh)
+    removes the residual mixing quadratically per step.
+
+    (XLA's batched Householder QR would preserve accuracy too, but it is
+    ~70x slower than these matmuls on TPU.)
     """
     dtype = M.dtype
-    T = M.shape[1]
-    R = jnp.linalg.qr(M, mode="r")
-    J = jnp.zeros((2 * T, 2 * T), dtype)
-    J = J.at[:T, T:].set(R.T)
-    J = J.at[T:, :T].set(R)
-    w, Q = _refined_eigh(J)
-    # Ascending eigenvalues: the top T are +sigma_i; v_i is the first block.
-    S = w[T:]
-    V = Q[:T, T:] * jnp.asarray(jnp.sqrt(2.0), dtype)
+    MT = jnp.swapaxes(M, -1, -2)
+    G = _mm(MT, M)
+    _, V = _refined_eigh(G)
+    S2 = None
+    for _ in range(polish_steps):
+        W = _mm(M, V)
+        C = _mm(jnp.swapaxes(W, -1, -2), W)
+        d, V1 = _refined_eigh(C)
+        V = _mm(V, V1)
+        S2 = d
+    S = jnp.sqrt(jnp.clip(S2, 0.0, None))
     return S, V
 
 
@@ -100,7 +114,8 @@ def _shrunk_lowrank(M: jnp.ndarray, shrink: jnp.ndarray) -> jnp.ndarray:
     """A = U diag(S - shrink) V^T for M = U S V^T, as M V diag(f(S)/S) V^T.
 
     All T singular components are kept (the reference's svp quirk), so the
-    row-space reconstruction is exact up to floating point.
+    row-space reconstruction is exact up to floating point.  M may carry
+    leading batch dims; shrink broadcasts per batch element.
     """
     dtype = M.dtype
     S, V = _row_space_svd(M)
@@ -109,9 +124,12 @@ def _shrunk_lowrank(M: jnp.ndarray, shrink: jnp.ndarray) -> jnp.ndarray:
     # arbitrary direction in the reference (LAPACK U columns for null
     # singular values); the relative floor keeps the same bounded magnitude
     # without Inf/NaN amplification.
-    floor = jnp.finfo(dtype).eps * jnp.max(S) + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
-    ratio = (S - shrink) / jnp.maximum(S, floor)
-    return _mm(_mm(M, V) * ratio[None, :], V.T)
+    floor = (
+        jnp.finfo(dtype).eps * jnp.max(S, axis=-1, keepdims=True)
+        + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+    )
+    ratio = (jnp.asarray(S - jnp.asarray(shrink)[..., None])) / jnp.maximum(S, floor)
+    return _mm(_mm(M, V) * ratio[..., None, :], jnp.swapaxes(V, -1, -2))
 
 
 def _host_svd_lowrank(M: jnp.ndarray, shrink: jnp.ndarray) -> jnp.ndarray:
@@ -220,3 +238,125 @@ def rpca_motion_window(
     )
     motion = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8)
     return motion.T.reshape(T, H, W), iters
+
+def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 2):
+    """(S, V) for row-convention M (B, T, P): M = (V S) U^T rows.
+
+    Same math as `_row_space_svd` (Gram + one-sided polish, see its
+    docstring) but laid out so the huge P axis stays in the minor (lane)
+    dimension on TPU: every contraction is (B,T,T)@(B,T,P) or
+    (B,T,P)@(B,P,T), i.e. MXU-friendly with no transposes materialized.
+    Returns (S (B,T), V (B,T,T)) with G = M M^T = V S^2 V^T.
+    """
+    MT = jnp.swapaxes(M, -1, -2)
+    G = _mm(M, MT)
+    _, V = _refined_eigh(G)
+    S2 = None
+    for _ in range(polish_steps):
+        W = _mm(jnp.swapaxes(V, -1, -2), M)      # (B, T, P)
+        C = _mm(W, jnp.swapaxes(W, -1, -2))      # (B, T, T)
+        d, V1 = _refined_eigh(C)
+        V = _mm(V, V1)
+        S2 = d
+    S = jnp.sqrt(jnp.clip(S2, 0.0, None))
+    return S, V
+
+
+@functools.partial(
+    jax.jit, static_argnames=("lmbda", "tol", "max_iter", "rho", "mu_cap")
+)
+def ialm_rpca_batched(
+    X: jnp.ndarray,
+    lmbda: float = 0.01,
+    tol: float = 0.001,
+    max_iter: int = 100,
+    rho: float = 1.5,
+    mu_cap: float = 1e7,
+):
+    """Batched IALM over row-convention X (B, T, P) — frames are ROWS, so
+    the window batch needs no transposes and the P axis stays in lanes.
+
+    Per-window state with explicit done-masking (converged windows are
+    frozen while the rest finish), natively-batched matmuls/eighs —
+    deliberately NOT vmap of the single-window while_loop (an order of
+    magnitude slower) and NOT XLA's batched QR (~70x slower than these
+    matmuls).  Per-window arithmetic is identical to `ialm_rpca` up to the
+    transpose of the iterate, which the math is symmetric under.
+
+    Returns (A, E, iters): A, E are (B, T, P); iters is (B,) int32.
+    """
+    dtype = X.dtype
+    frob = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1)))                 # (B,)
+    norm_inf = jnp.max(jnp.abs(X), axis=(-2, -1)) / lmbda
+    dual = jnp.maximum(frob, norm_inf)
+    Y0 = X / dual[..., None, None]
+    mu0 = 1.25 / frob
+
+    def cond(state):
+        _, _, _, _, itr, err = state
+        return jnp.any(jnp.logical_and(err >= tol, itr < max_iter))
+
+    def body(state):
+        A, E, Y, mu, itr, err = state
+        active = jnp.logical_and(err >= tol, itr < max_iter)       # (B,)
+        inv_mu = (1.0 / mu)[..., None, None]
+        Eraw = X - A + inv_mu * Y
+        Eupd = jnp.maximum(Eraw - lmbda * inv_mu, 0.0) + jnp.minimum(
+            Eraw + lmbda * inv_mu, 0.0
+        )
+        M = X - Eupd + inv_mu * Y
+        S, V = _row_svd_polished(M)
+        floor = (
+            jnp.finfo(dtype).eps * jnp.max(S, axis=-1, keepdims=True)
+            + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
+        )
+        ratio = (S - (1.0 / mu)[..., None]) / jnp.maximum(S, floor)
+        W = _mm(jnp.swapaxes(V, -1, -2), M)                        # (B, T, P)
+        Aupd = _mm(V * ratio[..., None, :], W)
+        Z = X - Aupd - Eupd
+        Ynew = Y + mu[..., None, None] * Z
+        mu_new = jnp.minimum(mu * rho, mu * mu_cap)
+        err_new = jnp.sqrt(jnp.sum(Z * Z, axis=(-2, -1))) / frob
+
+        keep = active[..., None, None]
+        return (
+            jnp.where(keep, Aupd, A),
+            jnp.where(keep, Eupd, E),
+            jnp.where(keep, Ynew, Y),
+            jnp.where(active, mu_new, mu),
+            itr + active.astype(jnp.int32),
+            jnp.where(active, err_new, err),
+        )
+
+    zeros = jnp.zeros_like(X)
+    B = X.shape[0]
+    init = (
+        zeros,
+        zeros,
+        Y0,
+        mu0,
+        jnp.zeros((B,), jnp.int32),
+        jnp.full((B,), jnp.inf, dtype),
+    )
+    A, E, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
+    return A, E, itr
+
+
+def rpca_motion_window_batched(
+    gray_windows: jnp.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
+):
+    """Batched rpca_motion_window: (B, T, H, W) uint8 -> ((B, T, H, W) uint8
+    motion, (B,) iters).  Row-convention: no transposes anywhere."""
+    B, T, H, W = gray_windows.shape
+    dtype = jnp.dtype(cfg.rpca_dtype)
+    X = gray_windows.reshape(B, T, H * W).astype(dtype)
+    _, E, iters = ialm_rpca_batched(
+        X,
+        lmbda=cfg.rpca_lambda,
+        tol=cfg.rpca_tol,
+        max_iter=cfg.rpca_max_iter,
+        rho=cfg.rpca_rho,
+        mu_cap=cfg.rpca_mu_cap,
+    )
+    motion = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8)
+    return motion.reshape(B, T, H, W), iters

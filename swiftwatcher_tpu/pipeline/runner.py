@@ -13,6 +13,7 @@ import dataclasses
 from pathlib import Path
 from typing import Callable, List, Optional
 
+import jax
 import numpy as np
 import pandas as pd
 
@@ -21,7 +22,7 @@ from ..geometry import crop_region_from_corners, roi_crop_region_from_corners
 from ..ops.roi_mask import generate_roi_mask
 from ..io.readers import FrameSource
 from ..io.export import export_results, generate_test_dir
-from .window import localize_window
+from .window import localize_windows
 from .tracking import SegmentTracker, Event
 from .events import classify_events
 
@@ -45,6 +46,16 @@ def extract_frame_segments(table, t: int):
     sum_y = np.asarray(table.sum_y[t]).astype(np.float64)
     sum_x = np.asarray(table.sum_x[t]).astype(np.float64)
     area = np.asarray(table.area[t]).astype(np.float64)
+    return [(sum_y[k] / area[k], sum_x[k] / area[k]) for k in idx]
+
+
+def extract_frame_segments_batched(table, b: int, t: int):
+    """As extract_frame_segments, for a window-batched (B, T, 256) table."""
+    valid = table.valid[b, t]
+    idx = np.nonzero(valid)[0]
+    sum_y = table.sum_y[b, t].astype(np.float64)
+    sum_x = table.sum_x[b, t].astype(np.float64)
+    area = table.area[b, t].astype(np.float64)
     return [(sum_y[k] / area[k], sum_x[k] / area[k]) for k in idx]
 
 
@@ -73,31 +84,66 @@ def run_video(
     (x1, y1), (x2, y2) = crop_region
 
     frames_processed = 0
+    planned = 0  # mirrors the reference's while-condition bookkeeping
     ialm_iters: List[int] = []
-    while frames_processed < source.total_frames:
-        frames, numbers, stamps = source.get_window(cfg.window_size)
-        crop = np.ascontiguousarray(frames[:, y1:y2, x1:x2, :])
-        table, _, iters = localize_window(crop, cfg)
-        table = dataclasses.replace(
-            table,
-            **{
-                f.name: np.asarray(getattr(table, f.name))
-                for f in dataclasses.fields(table)
-            },
+    B = max(cfg.batch_windows, 1)
+
+    def read_batch():
+        """Read up to B windows, honoring the reference's per-window loop
+        condition (frames_processed < total checked before EACH window,
+        __main__.py:71).  Returns None when the video is exhausted."""
+        nonlocal planned
+        wins = []
+        while len(wins) < B and planned < source.total_frames:
+            frames, numbers, stamps = source.get_window(cfg.window_size)
+            wins.append((frames, numbers, stamps))
+            planned += sum(1 for n in numbers if n >= 0)
+        if not wins:
+            return None
+        n_real = len(wins)
+        crops = np.stack(
+            [
+                np.stack([f[y1:y2, x1:x2, :] for f in w[0]])
+                for w in wins
+            ]
+            + [np.zeros((cfg.window_size, y2 - y1, x2 - x1, 3), np.uint8)]
+            * (B - n_real)
         )
-        ialm_iters.append(int(iters))
+        return crops, wins
 
-        for t in range(cfg.window_size):
-            centroids = extract_frame_segments(table, t)
-            if segment_filter is not None:
-                keep = segment_filter(table, t, frames[t], crop_region)
-                centroids = [c for c, k in zip(centroids, keep) if k]
-            tracker.step(centroids, numbers[t], stamps[t])
-            if numbers[t] >= 0:
-                frames_processed += 1
+    def dispatch(batch):
+        crops, wins = batch
+        table, iters = localize_windows(crops, cfg)
+        return table, iters, wins
 
+    def consume(pending):
+        nonlocal frames_processed
+        table, iters, wins = pending
+        table = jax.tree.map(np.asarray, table)  # waits for the device
+        for b, (frames, numbers, stamps) in enumerate(wins):
+            ialm_iters.append(int(np.asarray(iters)[b]))
+            for t in range(cfg.window_size):
+                centroids = extract_frame_segments_batched(table, b, t)
+                if segment_filter is not None:
+                    keep = segment_filter(table, (b, t), frames[t], crop_region)
+                    centroids = [c for c, k in zip(centroids, keep) if k]
+                tracker.step(centroids, numbers[t], stamps[t])
+                if numbers[t] >= 0:
+                    frames_processed += 1
         if status_cb is not None:
             status_cb(frames_processed, source.total_frames)
+
+    # 1-deep software pipeline: dispatch batch k+1 before consuming batch k,
+    # so host tracking and the device (plus transfer latency) overlap.
+    pending = None
+    while True:
+        batch = read_batch()
+        nxt = dispatch(batch) if batch is not None else None
+        if pending is not None:
+            consume(pending)
+        pending = nxt
+        if nxt is None:
+            break
 
     events = tracker.events
     df_labels = classify_events(events, cfg) if events else None
