@@ -239,7 +239,7 @@ def rpca_motion_window(
     motion = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8)
     return motion.T.reshape(T, H, W), iters
 
-def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 2):
+def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 2, reduce_fn=None):
     """(S, V) for row-convention M (B, T, P): M = (V S) U^T rows.
 
     Same math as `_row_space_svd` (Gram + one-sided polish, see its
@@ -248,13 +248,15 @@ def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 2):
     (B,T,P)@(B,P,T), i.e. MXU-friendly with no transposes materialized.
     Returns (S (B,T), V (B,T,T)) with G = M M^T = V S^2 V^T.
     """
+    if reduce_fn is None:
+        reduce_fn = lambda x: x
     MT = jnp.swapaxes(M, -1, -2)
-    G = _mm(M, MT)
+    G = reduce_fn(_mm(M, MT))
     _, V = _refined_eigh(G)
     S2 = None
     for _ in range(polish_steps):
         W = _mm(jnp.swapaxes(V, -1, -2), M)      # (B, T, P)
-        C = _mm(W, jnp.swapaxes(W, -1, -2))      # (B, T, T)
+        C = reduce_fn(_mm(W, jnp.swapaxes(W, -1, -2)))  # (B, T, T)
         d, V1 = _refined_eigh(C)
         V = _mm(V, V1)
         S2 = d
@@ -263,7 +265,8 @@ def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 2):
 
 
 @functools.partial(
-    jax.jit, static_argnames=("lmbda", "tol", "max_iter", "rho", "mu_cap")
+    jax.jit,
+    static_argnames=("lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name"),
 )
 def ialm_rpca_batched(
     X: jnp.ndarray,
@@ -272,6 +275,7 @@ def ialm_rpca_batched(
     max_iter: int = 100,
     rho: float = 1.5,
     mu_cap: float = 1e7,
+    axis_name=None,
 ):
     """Batched IALM over row-convention X (B, T, P) — frames are ROWS, so
     the window batch needs no transposes and the P axis stays in lanes.
@@ -284,10 +288,22 @@ def ialm_rpca_batched(
     transpose of the iterate, which the math is symmetric under.
 
     Returns (A, E, iters): A, E are (B, T, P); iters is (B,) int32.
+
+    axis_name: optional mesh axis over which the P (pixel) dimension is
+    sharded (sequence parallelism).  Inside shard_map, each device holds a
+    pixel block of X; the T x T Grams and the residual/init norms are the
+    only cross-device quantities, reduced with psum/pmax over that axis —
+    tiny (21 x 21) collectives riding ICI.
     """
+
+    def allsum(v):
+        return jax.lax.psum(v, axis_name) if axis_name else v
+
+    def allmax(v):
+        return jax.lax.pmax(v, axis_name) if axis_name else v
     dtype = X.dtype
-    frob = jnp.sqrt(jnp.sum(X * X, axis=(-2, -1)))                 # (B,)
-    norm_inf = jnp.max(jnp.abs(X), axis=(-2, -1)) / lmbda
+    frob = jnp.sqrt(allsum(jnp.sum(X * X, axis=(-2, -1))))         # (B,)
+    norm_inf = allmax(jnp.max(jnp.abs(X), axis=(-2, -1))) / lmbda
     dual = jnp.maximum(frob, norm_inf)
     Y0 = X / dual[..., None, None]
     mu0 = 1.25 / frob
@@ -305,7 +321,7 @@ def ialm_rpca_batched(
             Eraw + lmbda * inv_mu, 0.0
         )
         M = X - Eupd + inv_mu * Y
-        S, V = _row_svd_polished(M)
+        S, V = _row_svd_polished(M, reduce_fn=allsum)
         floor = (
             jnp.finfo(dtype).eps * jnp.max(S, axis=-1, keepdims=True)
             + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
@@ -316,7 +332,7 @@ def ialm_rpca_batched(
         Z = X - Aupd - Eupd
         Ynew = Y + mu[..., None, None] * Z
         mu_new = jnp.minimum(mu * rho, mu * mu_cap)
-        err_new = jnp.sqrt(jnp.sum(Z * Z, axis=(-2, -1))) / frob
+        err_new = jnp.sqrt(allsum(jnp.sum(Z * Z, axis=(-2, -1)))) / frob
 
         keep = active[..., None, None]
         return (

@@ -1,0 +1,156 @@
+"""Device meshes and sharded execution.
+
+The reference is single-process with no parallelism (SURVEY.md §2.3); these
+are the rebuild's first-class scaling primitives:
+
+  * data parallelism over 21-frame WINDOWS ('data' axis) — windows are
+    independent for localization; tracking stays a per-video sequential
+    consumer of the (tiny) segment tables
+  * sequence/tensor parallelism over PIXELS inside RPCA ('model' axis) —
+    each device holds a column block of the crop; the only cross-device
+    traffic is psum of 21x21 Grams and scalar norms (ICI-friendly), plus an
+    all_gather of the motion image before the stencil stages
+  * tensor-parallel classifier training — the head conv's 512-channel
+    contraction shards over 'model'; XLA inserts the psum from the
+    shardings (jit + NamedSharding, the scaling-book recipe)
+
+Everything compiles against any jax.sharding.Mesh, so the same code runs on
+a v5e pod slice or on the 8-virtual-device CPU mesh used in tests.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import functools
+from typing import Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
+from jax import shard_map
+
+import optax
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..ops.color import bgr_to_gray
+from ..ops.rpca import ialm_rpca_batched
+from ..ops.filtering import motion_postfilter
+from ..ops.ccl import label_components, wrap_labels_uint8
+from ..ops.props import RegionTable, region_tables
+from ..models import train as train_mod
+
+
+def make_mesh(
+    n_devices: Optional[int] = None, shape: Optional[Tuple[int, int]] = None
+) -> Mesh:
+    """2-D ('data', 'model') mesh over the first n devices.
+
+    Default shape puts a factor of 2 on 'model' when available (pixel/tensor
+    sharding) and the rest on 'data' (window sharding)."""
+    devs = jax.devices()
+    n = n_devices or len(devs)
+    if shape is None:
+        model = 2 if n % 2 == 0 and n > 1 else 1
+        shape = (n // model, model)
+    grid = np.asarray(devs[: shape[0] * shape[1]]).reshape(shape)
+    return Mesh(grid, ("data", "model"))
+
+
+def sharded_localize_windows(
+    crops: jnp.ndarray, mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG
+):
+    """Window localization over a mesh: windows dp-sharded over 'data',
+    RPCA pixels sharded over 'model' (width blocks), stencil stages
+    replicated within 'model' after an all_gather of the motion image.
+
+    crops: (B, T, H, W, 3) uint8 with B % data == 0 and W % model == 0.
+    Returns (RegionTable (B, T, 256), iters (B,)).
+    """
+    B, T, H, W, _ = crops.shape
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P("data", None, None, "model", None),
+        out_specs=(
+            RegionTable(
+                **{f.name: P("data") for f in dataclasses.fields(RegionTable)}
+            ),
+            P("data"),
+        ),
+        check_vma=False,
+    )
+    def body(local):
+        b, t, h, w_local, _ = local.shape
+        gray = bgr_to_gray(local)                       # (b, T, H, W/m)
+        X = gray.reshape(b, t, h * w_local).astype(jnp.dtype(cfg.rpca_dtype))
+        _, E, iters = ialm_rpca_batched(
+            X,
+            lmbda=cfg.rpca_lambda,
+            tol=cfg.rpca_tol,
+            max_iter=cfg.rpca_max_iter,
+            rho=cfg.rpca_rho,
+            mu_cap=cfg.rpca_mu_cap,
+            axis_name="model",
+        )
+        motion_local = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8).reshape(b, t, h, w_local)
+        # Reassemble full-width frames; the stencil/CCL stages then run
+        # replicated within the 'model' axis (their cost is small).
+        motion = jax.lax.all_gather(motion_local, "model", axis=3, tiled=True)
+        flat = motion.reshape(b * t, h, w_local * mesh.shape["model"])
+        filtered = motion_postfilter(flat, cfg)
+        labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
+        table = region_tables(wrap_labels_uint8(labels), with_bbox=False)
+        table = jax.tree.map(lambda a: a.reshape(b, t, *a.shape[1:]), table)
+        return table, iters
+
+    return body(crops)
+
+
+def sharded_train_step(mesh: Mesh, lr: float = 1e-3):
+    """Build a pjit'd classifier-head train step over the mesh.
+
+    Placement: feature batch dp over 'data', 512-channel feature/weight dim
+    tp over 'model' (XLA inserts the contraction psum); labels dp; head
+    bias and optimizer scalars replicated.
+
+    Returns (step_fn, shard_fn) where step_fn(head, opt_state, feats,
+    labels) -> (head, opt_state, loss) and shard_fn places host arrays.
+    """
+    opt = optax.adam(lr)
+    raw_step = train_mod.make_train_step(opt)
+
+    feat_spec = NamedSharding(mesh, P("data", None, None, "model"))
+    label_spec = NamedSharding(mesh, P("data"))
+    w_spec = NamedSharding(mesh, P(None, None, "model", None))
+    b_spec = NamedSharding(mesh, P())
+
+    head_spec = {"classifier.1.weight": w_spec, "classifier.1.bias": b_spec}
+
+    def place(head, opt_state, feats, labels):
+        head = {k: jax.device_put(v, head_spec[k]) for k, v in head.items()}
+        opt_state = jax.tree.map(
+            lambda v: jax.device_put(
+                v, b_spec if np.ndim(v) == 0 else
+                (w_spec if np.shape(v) == np.shape(head["classifier.1.weight"]) else b_spec)
+            ),
+            opt_state,
+        )
+        feats = jax.device_put(feats, feat_spec)
+        labels = jax.device_put(labels, label_spec)
+        return head, opt_state, feats, labels
+
+    step = jax.jit(raw_step, donate_argnums=(0, 1))
+    return step, place
+
+
+def init_sharded_training(mesh: Mesh, params, lr: float = 1e-3):
+    """Split params, init optimizer, return everything placed on the mesh."""
+    trunk, head = train_mod.split_params(
+        {k: jnp.asarray(v) for k, v in params.items()}
+    )
+    opt = optax.adam(lr)
+    opt_state = opt.init(head)
+    step, place = sharded_train_step(mesh, lr)
+    return trunk, head, opt_state, step, place

@@ -1,0 +1,67 @@
+"""Multi-chip sharding on the 8-virtual-device CPU mesh.
+
+Validates that the sharded window pipeline (windows dp x pixels sp with
+psum'd Grams) matches the single-device program, and that the dp x tp
+classifier train step runs and reduces loss.
+"""
+
+import numpy as np
+import pytest
+
+import jax
+import jax.numpy as jnp
+
+from swiftwatcher_tpu.config import DEFAULT_CONFIG
+from swiftwatcher_tpu.parallel.mesh import (
+    make_mesh,
+    sharded_localize_windows,
+    init_sharded_training,
+)
+from swiftwatcher_tpu.pipeline.window import localize_windows
+from swiftwatcher_tpu.models.squeezenet import random_params
+from swiftwatcher_tpu.models import train as train_mod
+
+from oracles import make_synthetic_window
+
+
+@pytest.fixture(scope="module")
+def mesh():
+    return make_mesh(8, shape=(4, 2))
+
+
+def test_sharded_localization_matches_single(rng, mesh, cpu_devices):
+    wins = []
+    for k in range(4):
+        g = make_synthetic_window(rng, T=21, H=32, W=64, n_dots=1 + k % 2)
+        wins.append(np.repeat(g[..., None], 3, axis=-1))
+    crops = np.stack(wins)  # (4, 21, 32, 64, 3); W=64 divisible by model=2
+
+    table_s, iters_s = sharded_localize_windows(jnp.asarray(crops), mesh, DEFAULT_CONFIG)
+    table_1, iters_1 = localize_windows(crops, DEFAULT_CONFIG)
+
+    # Iteration counts may differ by at most 1 (psum summation order changes
+    # the residual in the last ulp); segment tables must agree exactly.
+    assert np.abs(np.asarray(iters_s) - np.asarray(iters_1)).max() <= 1
+    np.testing.assert_array_equal(np.asarray(table_s.valid), np.asarray(table_1.valid))
+    np.testing.assert_array_equal(np.asarray(table_s.area), np.asarray(table_1.area))
+    np.testing.assert_array_equal(np.asarray(table_s.sum_y), np.asarray(table_1.sum_y))
+    np.testing.assert_array_equal(np.asarray(table_s.sum_x), np.asarray(table_1.sum_x))
+
+
+def test_sharded_train_step_learns(rng, mesh):
+    params = random_params(rng)
+    trunk, head, opt_state, step, place = init_sharded_training(mesh, params, lr=1e-2)
+
+    # Tiny synthetic feature batch: two separable classes in feature space.
+    n, h, w, c = 8, 2, 2, 512
+    feats = rng.standard_normal((n, h, w, c)).astype(np.float32)
+    labels = (np.arange(n) % 2).astype(np.int32)
+    feats[labels == 1, :, :, :64] += 3.0
+
+    head, opt_state, feats_d, labels_d = place(head, opt_state, feats, labels)
+    losses = []
+    for _ in range(30):
+        head, opt_state, loss = step(head, opt_state, feats_d, labels_d)
+        losses.append(float(loss))
+    assert losses[-1] < losses[0]
+    assert losses[-1] < 0.2
