@@ -44,9 +44,12 @@ def main():
     ap.add_argument("--warmup-frames", type=int, default=168)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
+    ap.add_argument("--batch-windows", type=int, default=DEFAULT_CONFIG.batch_windows)
     args = ap.parse_args()
 
-    cfg = DEFAULT_CONFIG
+    import dataclasses
+
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=args.batch_windows)
 
     # Reference-like 1080p scene: ~400 px chimney -> ~500 x 250 crop.
     video = make_video(

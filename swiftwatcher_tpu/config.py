@@ -110,7 +110,7 @@ class PipelineConfig:
     prefetch_depth: int = 2
     # Windows per device dispatch: amortizes host->device round-trip latency
     # (the per-call overhead dwarfs compute for a single 21-frame window).
-    batch_windows: int = 4
+    batch_windows: int = 8
 
 
 DEFAULT_CONFIG = PipelineConfig()

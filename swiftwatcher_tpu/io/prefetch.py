@@ -1,0 +1,86 @@
+"""Background window prefetching: decode/crop/grayscale/upload off the
+critical path.
+
+A worker thread reads windows from the FrameSource (honoring the
+reference's per-window loop condition), slices the chimney crop, converts
+to grayscale on host (bit-identical to the device op), and starts the
+host->device transfer — so the main loop's device dispatches overlap both
+the frame I/O and the (potentially slow) upload link.  This is the
+double-buffered host->HBM streaming layer of SURVEY.md §7 step 8.
+"""
+
+from __future__ import annotations
+
+from concurrent.futures import ThreadPoolExecutor
+from typing import List, Optional, Tuple
+
+import numpy as np
+
+import jax
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..ops.color import bgr_to_gray_host
+from .readers import FrameSource
+
+
+class WindowPrefetcher:
+    """Yields ready-to-dispatch window batches ahead of consumption."""
+
+    def __init__(
+        self,
+        source: FrameSource,
+        crop_region,
+        cfg: PipelineConfig = DEFAULT_CONFIG,
+        keep_frames: bool = False,
+        depth: Optional[int] = None,
+    ):
+        self.source = source
+        self.cfg = cfg
+        self.keep_frames = keep_frames
+        (self.x1, self.y1), (self.x2, self.y2) = crop_region
+        self._planned = 0
+        self._exhausted = False
+        self._ex = ThreadPoolExecutor(max_workers=1)
+        self._depth = depth or cfg.prefetch_depth
+        self._futures = []
+        for _ in range(self._depth):
+            self._futures.append(self._ex.submit(self._produce))
+
+    def _produce(self):
+        """Read up to batch_windows windows (loop condition checked before
+        each window, as the reference does at __main__.py:71), grayscale the
+        crops, and start the device transfer."""
+        if self._exhausted:
+            return None
+        cfg = self.cfg
+        B = max(cfg.batch_windows, 1)
+        wins = []
+        while len(wins) < B and self._planned < self.source.total_frames:
+            frames, numbers, stamps = self.source.get_window(cfg.window_size)
+            crops = np.stack(
+                [f[self.y1 : self.y2, self.x1 : self.x2, :] for f in frames]
+            )
+            gray = bgr_to_gray_host(crops)
+            wins.append((frames if self.keep_frames else None, numbers, stamps, gray))
+            self._planned += sum(1 for n in numbers if n >= 0)
+        if not wins:
+            self._exhausted = True
+            return None
+        n_real = len(wins)
+        gray = np.stack(
+            [w[3] for w in wins]
+            + [np.zeros_like(wins[0][3])] * (B - n_real)
+        )
+        gray_dev = jax.device_put(gray)  # upload starts here, off-thread
+        if self._planned >= self.source.total_frames:
+            self._exhausted = True
+        return gray_dev, [(w[0], w[1], w[2]) for w in wins]
+
+    def next(self):
+        """Pop the next ready batch (None when the video is done)."""
+        fut = self._futures.pop(0)
+        self._futures.append(self._ex.submit(self._produce))
+        return fut.result()
+
+    def close(self):
+        self._ex.shutdown(wait=False, cancel_futures=True)

@@ -119,15 +119,36 @@ def label_components(fg: jnp.ndarray, max_iters: int = 256) -> Tuple[jnp.ndarray
     lbl, _, _ = jax.lax.while_loop(
         cond(max_iters), phase2_body, (lbl, changed, jnp.asarray(0, jnp.int32))
     )
-    lbl = lbl.astype(jnp.int32)
 
-    # Compact: rank roots in raster order.
-    is_root = jnp.logical_and(fg, lbl == idx)
+    # Compact: rank roots in raster order, then FLOOD each root's rank back
+    # through its component with the same cheap min-pools.  A per-pixel
+    # rank[root[p]] gather would be the obvious move, but a (T, P) gather
+    # costs ~80 ms on TPU while these pools cost ~1 ms; distinct components
+    # are never 8-adjacent, so ranks cannot leak between them.
+    is_root = jnp.logical_and(fg, lbl == idx.astype(jnp.float32))
     ranks = jnp.cumsum(is_root.reshape(T, P).astype(jnp.int32), axis=1)  # 1-based at roots
-    ext = jnp.concatenate([ranks, jnp.zeros((T, 1), jnp.int32)], axis=1)
-    labels = jnp.take_along_axis(ext, lbl.reshape(T, P), axis=1).reshape(T, H, W)
-    labels = jnp.where(fg, labels, 0)
     counts = ranks[:, -1]
+    rank0 = jnp.where(
+        is_root, ranks.reshape(T, H, W).astype(jnp.float32), jnp.float32(sentinel)
+    )
+    rank0 = jnp.where(fg, rank0, jnp.float32(sentinel))
+
+    def rank_body(state):
+        r, _, it = state
+        new = pool_chunk(r)
+        return new, jnp.any(new != r), it + CHUNK
+
+    rinit = (rank0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
+    rank_map, rchanged, _ = jax.lax.while_loop(cond(phase1_iters), rank_body, rinit)
+
+    def gather_fallback(r):
+        # pathological (snake-like) components: one gather resolves exactly
+        ext = jnp.concatenate([ranks, jnp.zeros((T, 1), jnp.int32)], axis=1)
+        g = jnp.take_along_axis(ext, lbl.astype(jnp.int32).reshape(T, P), axis=1)
+        return g.reshape(T, H, W).astype(jnp.float32)
+
+    rank_map = jax.lax.cond(rchanged, gather_fallback, lambda r: r, rank_map)
+    labels = jnp.where(fg, rank_map.astype(jnp.int32), 0)
     return labels, counts
 
 

@@ -25,6 +25,32 @@ _B2Y = 3735
 _SHIFT = 15
 
 
+def bgr_to_gray_host(frames) -> "np.ndarray":
+    """Host-side exact counterpart of bgr_to_gray (cv2 when available, else
+    the same fixed-point formula in NumPy).
+
+    Exists for transfer-bound deployments: grayscale on host cuts
+    host->device bytes 3x, and cv2.cvtColor IS the reference's own op, so
+    host and device paths are all bit-identical."""
+    import numpy as np
+
+    try:
+        import cv2
+
+        x = np.asarray(frames)
+        H, W = x.shape[-3], x.shape[-2]
+        flat = x.reshape(-1, H, W, 3)
+        out = np.empty((flat.shape[0], H, W), np.uint8)
+        for i in range(flat.shape[0]):
+            out[i] = cv2.cvtColor(flat[i], cv2.COLOR_BGR2GRAY)
+        return out.reshape(x.shape[:-1])
+    except ImportError:
+        x = np.asarray(frames).astype(np.int32)
+        b, g, r = x[..., 0], x[..., 1], x[..., 2]
+        y = (r * _R2Y + g * _G2Y + b * _B2Y + (1 << (_SHIFT - 1))) >> _SHIFT
+        return y.astype(np.uint8)
+
+
 def bgr_to_gray(frames: jnp.ndarray) -> jnp.ndarray:
     """Convert uint8 BGR image(s) to uint8 grayscale, bit-exact with cv2.
 

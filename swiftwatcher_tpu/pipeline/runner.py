@@ -22,7 +22,8 @@ from ..geometry import crop_region_from_corners, roi_crop_region_from_corners
 from ..ops.roi_mask import generate_roi_mask
 from ..io.readers import FrameSource
 from ..io.export import export_results, generate_test_dir
-from .window import localize_windows
+from ..io.prefetch import WindowPrefetcher
+from .window import localize_windows_gray
 from .tracking import SegmentTracker, Event
 from .events import classify_events
 
@@ -81,39 +82,17 @@ def run_video(
     roi_mask = np.asarray(generate_roi_mask(ff, roi_region, crop_region, cfg))
 
     tracker = SegmentTracker(roi_mask, cfg)
-    (x1, y1), (x2, y2) = crop_region
 
     frames_processed = 0
-    planned = 0  # mirrors the reference's while-condition bookkeeping
     ialm_iters: List[int] = []
-    B = max(cfg.batch_windows, 1)
-
-    def read_batch():
-        """Read up to B windows, honoring the reference's per-window loop
-        condition (frames_processed < total checked before EACH window,
-        __main__.py:71).  Returns None when the video is exhausted."""
-        nonlocal planned
-        wins = []
-        while len(wins) < B and planned < source.total_frames:
-            frames, numbers, stamps = source.get_window(cfg.window_size)
-            wins.append((frames, numbers, stamps))
-            planned += sum(1 for n in numbers if n >= 0)
-        if not wins:
-            return None
-        n_real = len(wins)
-        crops = np.stack(
-            [
-                np.stack([f[y1:y2, x1:x2, :] for f in w[0]])
-                for w in wins
-            ]
-            + [np.zeros((cfg.window_size, y2 - y1, x2 - x1, 3), np.uint8)]
-            * (B - n_real)
-        )
-        return crops, wins
+    needs_frames = segment_filter is not None
+    prefetcher = WindowPrefetcher(
+        source, crop_region, cfg, keep_frames=needs_frames
+    )
 
     def dispatch(batch):
-        crops, wins = batch
-        table, iters = localize_windows(crops, cfg)
+        gray_dev, wins = batch
+        table, iters = localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames)
         return table, iters, wins
 
     def consume(pending):
@@ -133,17 +112,21 @@ def run_video(
         if status_cb is not None:
             status_cb(frames_processed, source.total_frames)
 
-    # 1-deep software pipeline: dispatch batch k+1 before consuming batch k,
-    # so host tracking and the device (plus transfer latency) overlap.
-    pending = None
-    while True:
-        batch = read_batch()
-        nxt = dispatch(batch) if batch is not None else None
-        if pending is not None:
-            consume(pending)
-        pending = nxt
-        if nxt is None:
-            break
+    # Software pipeline: the prefetch thread reads/grayscales/uploads ahead;
+    # here we dispatch batch k+1 before consuming batch k so host tracking
+    # overlaps device compute and transfers.
+    try:
+        pending = None
+        while True:
+            batch = prefetcher.next()
+            nxt = dispatch(batch) if batch is not None else None
+            if pending is not None:
+                consume(pending)
+            pending = nxt
+            if nxt is None:
+                break
+    finally:
+        prefetcher.close()
 
     events = tracker.events
     df_labels = classify_events(events, cfg) if events else None

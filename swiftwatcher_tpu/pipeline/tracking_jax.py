@@ -1,0 +1,219 @@
+"""On-device tracking: the reference's per-frame tracker as a lax.scan.
+
+The host tracker (tracking.py) is the strict-parity path; this module keeps
+the whole loop on device — per-frame padded cost matrices, the jittable
+Jonker-Volgenant LAP, track linking, ROI event tests — so multi-chip or
+latency-sensitive deployments never synchronize per frame.
+
+Cost-matrix layout over fixed capacity K = cfg.max_tracks (2K x 2K):
+  row/col i < K   = previous-frame slot i,   row/col K+c = current slot c
+  diag(i, i) = 1 for valid slots (non-match cost), 0 for padding slots
+  match cell (p, K+c) = 0.5 * 2^(dist-25) + 0.5 * 2^(angle_diff-90)
+  every other valid-valid cell = 1 + eps (the reference's "impossible"
+  filler, segment_tracking.py:179-186 — these DO get assigned: each match
+  forces one leftover row onto a filler column, so their value participates
+  in the match/no-match trade-off and must be 1+eps, not a big sentinel)
+  valid-vs-padding cells = BIG so padding stays on its free diagonal.
+
+Exponents are clamped at cfg.cost_exp_clamp (any clamped entry already
+dwarfs the alternatives in f32, so assignments are unchanged; avoids inf).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import NamedTuple, Tuple
+
+import jax
+import jax.numpy as jnp
+
+from ..config import PipelineConfig, DEFAULT_CONFIG
+from ..ops.hungarian import solve_lap
+
+_EPS32 = jnp.float32(2.220446049250313e-16)  # sys.float_info.epsilon, as f64
+_BIG = jnp.float32(1e9)
+
+
+class TrackState(NamedTuple):
+    cy: jnp.ndarray          # (K,) f32 previous-frame centroids
+    cx: jnp.ndarray
+    valid: jnp.ndarray       # (K,) bool
+    hist_len: jnp.ndarray    # (K,) int32
+    first_cy: jnp.ndarray    # (K,) f32 first centroid of the motion path
+    first_cx: jnp.ndarray
+    fn: jnp.ndarray          # () int32 previous frame number
+
+
+class EventBuffer(NamedTuple):
+    first_cy: jnp.ndarray    # (CAP,) f32
+    first_cx: jnp.ndarray
+    last_cy: jnp.ndarray
+    last_cx: jnp.ndarray
+    last_fn: jnp.ndarray     # (CAP,) int32
+    count: jnp.ndarray       # () int32
+    overflow: jnp.ndarray    # () bool
+
+
+def empty_state(K: int) -> TrackState:
+    z = jnp.zeros((K,), jnp.float32)
+    return TrackState(
+        cy=z, cx=z, valid=jnp.zeros((K,), bool),
+        hist_len=jnp.zeros((K,), jnp.int32), first_cy=z, first_cx=z,
+        fn=jnp.asarray(-1, jnp.int32),
+    )
+
+
+def empty_events(cap: int) -> EventBuffer:
+    z = jnp.zeros((cap,), jnp.float32)
+    return EventBuffer(
+        first_cy=z, first_cx=z, last_cy=z, last_cx=z,
+        last_fn=jnp.zeros((cap,), jnp.int32),
+        count=jnp.asarray(0, jnp.int32), overflow=jnp.asarray(False),
+    )
+
+
+def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
+    K = state.cy.shape[0]
+    clamp = jnp.float32(cfg.cost_exp_clamp)
+
+    d = jnp.sqrt(
+        (state.cy[:, None] - cy[None, :]) ** 2
+        + (state.cx[:, None] - cx[None, :]) ** 2
+    )
+    d_cost = jnp.exp2(jnp.minimum(d - cfg.dist_cost_knee, clamp))
+
+    deg = jnp.float32(180.0 / jnp.pi)
+    old_angle = deg * jnp.arctan2(
+        state.first_cy - state.cy, -(state.first_cx - state.cx)
+    )
+    new_angle = deg * jnp.arctan2(
+        state.cy[:, None] - cy[None, :], -(state.cx[:, None] - cx[None, :])
+    )
+    diff = jnp.abs(new_angle - old_angle[:, None])
+    diff = jnp.minimum(diff, 360.0 - diff)
+    a_cost = jnp.where(
+        (state.hist_len > 0)[:, None],
+        jnp.exp2(jnp.minimum(diff - cfg.angle_cost_knee, clamp)),
+        1.0,
+    )
+    match = 0.5 * d_cost + 0.5 * a_cost
+
+    pv, cv = state.valid, valid
+    rv = jnp.concatenate([pv, cv])                      # row validity (2K,)
+    filler = jnp.float32(cfg.nonmatch_cost) + _EPS32
+    both_valid = rv[:, None] & rv[None, :]
+    cost = jnp.where(both_valid, filler, _BIG)
+    # match block (prev rows, curr cols)
+    mblock = jnp.where(pv[:, None] & cv[None, :], match.astype(jnp.float32), _BIG)
+    cost = cost.at[:K, K:].set(jnp.where(both_valid[:K, K:], mblock, _BIG))
+    # diagonal: non-match cost for valid slots, free parking for padding
+    diag = jnp.where(rv, jnp.float32(cfg.nonmatch_cost), 0.0)
+    n2 = 2 * K
+    eye = jnp.eye(n2, dtype=bool)
+    cost = jnp.where(eye, diag[None, :] * jnp.ones((n2, 1)), cost)
+    return cost
+
+
+def _step(carry, inputs, roi_mask, cfg: PipelineConfig):
+    state, events = carry
+    cy, cx, valid, fn = inputs
+    K = state.cy.shape[0]
+
+    cost = _cost_matrix(state, cy, cx, valid, cfg)
+    col4row = solve_lap(cost)
+
+    match_col = col4row[:K] - K                                   # (K,)
+    prev_match = jnp.where(
+        state.valid
+        & (match_col >= 0)
+        & jnp.take(valid, jnp.clip(match_col, 0, K - 1)),
+        match_col,
+        -1,
+    )
+    disappeared = state.valid & (prev_match < 0)
+
+    # inverse map: which prev slot matched each curr slot (-1 if none)
+    scatter_idx = jnp.where(prev_match >= 0, prev_match, K)       # K = dump slot
+    curr_from = jnp.zeros((K + 1,), jnp.int32).at[scatter_idx].set(
+        jnp.arange(K, dtype=jnp.int32) + 1
+    )[:K] - 1                                                     # -1 if none
+
+    # ---- events: disappeared inside ROI with history ----------------------
+    Hm, Wm = roi_mask.shape
+    iy = jnp.clip(state.cy.astype(jnp.int32), 0, Hm - 1)
+    ix = jnp.clip(state.cx.astype(jnp.int32), 0, Wm - 1)
+    in_roi = roi_mask.reshape(-1)[iy * Wm + ix] == 255
+    is_event = disappeared & in_roi & (state.hist_len >= 1)
+
+    cap = events.first_cy.shape[0]
+    ev_first_cy = jnp.where(state.hist_len > 0, state.first_cy, state.cy)
+    ev_first_cx = jnp.where(state.hist_len > 0, state.first_cx, state.cx)
+    order = jnp.argsort(~is_event, stable=True)                   # events first
+    n_ev = jnp.sum(is_event).astype(jnp.int32)
+    pos = events.count + jnp.arange(K, dtype=jnp.int32)
+    write = (jnp.arange(K) < n_ev) & (pos < cap)
+    slot = jnp.where(write, pos, cap)                             # cap = dump
+
+    def scatter(buf, vals):
+        ext = jnp.concatenate([buf, jnp.zeros((1,), buf.dtype)])
+        return ext.at[slot].set(vals.astype(buf.dtype))[:cap]
+
+    events = EventBuffer(
+        first_cy=scatter(events.first_cy, ev_first_cy[order]),
+        first_cx=scatter(events.first_cx, ev_first_cx[order]),
+        last_cy=scatter(events.last_cy, state.cy[order]),
+        last_cx=scatter(events.last_cx, state.cx[order]),
+        last_fn=scatter(events.last_fn, jnp.full((K,), state.fn)),
+        count=jnp.minimum(events.count + n_ev, cap),
+        overflow=events.overflow | (events.count + n_ev > cap),
+    )
+
+    # ---- link: new state from current segments ----------------------------
+    has_prev = curr_from >= 0
+    p = jnp.clip(curr_from, 0, K - 1)
+    new_hist = jnp.where(has_prev & valid, state.hist_len[p] + 1, 0)
+    pf_cy = jnp.where(state.hist_len[p] > 0, state.first_cy[p], state.cy[p])
+    pf_cx = jnp.where(state.hist_len[p] > 0, state.first_cx[p], state.cx[p])
+    new_state = TrackState(
+        cy=cy, cx=cx, valid=valid,
+        hist_len=new_hist,
+        first_cy=jnp.where(has_prev & valid, pf_cy, 0.0),
+        first_cx=jnp.where(has_prev & valid, pf_cx, 0.0),
+        fn=fn,
+    )
+    return (new_state, events), None
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def track_window(
+    state: TrackState,
+    roi_mask: jnp.ndarray,
+    cys: jnp.ndarray,      # (T, K) f32
+    cxs: jnp.ndarray,
+    valids: jnp.ndarray,   # (T, K) bool
+    fns: jnp.ndarray,      # (T,) int32
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+) -> Tuple[TrackState, EventBuffer]:
+    """Scan the tracker over one window's compacted segment tables."""
+    events = empty_events(cap=4 * cys.shape[0])
+
+    def f(carry, inp):
+        return _step(carry, inp, roi_mask, cfg)
+
+    (state, events), _ = jax.lax.scan(f, (state, events), (cys, cxs, valids, fns))
+    return state, events
+
+
+@functools.partial(jax.jit, static_argnames=("K",))
+def compact_tables(table, K: int):
+    """RegionTable (..., 256) -> top-K valid slots in ascending label order:
+    (cys, cxs, valids, overflow) with shapes (..., K)."""
+    valid = table.valid
+    order = jnp.argsort(~valid, axis=-1, stable=True)[..., :K]
+    take = lambda a: jnp.take_along_axis(a, order, axis=-1)
+    kvalid = take(valid)
+    area = jnp.maximum(take(table.area), 1).astype(jnp.float32)
+    cy = take(table.sum_y).astype(jnp.float32) / area
+    cx = take(table.sum_x).astype(jnp.float32) / area
+    overflow = jnp.sum(valid, axis=-1) > K
+    return cy, cx, kvalid, overflow

@@ -65,8 +65,22 @@ def localize_windows(
     frame-parallel and simply fold B into the frame axis.  Bboxes are
     skipped unless requested (tracking uses centroids only).
     """
-    B, T, H, W, _ = crops_bgr.shape
     gray = bgr_to_gray(crops_bgr)
+    return localize_windows_gray(gray, cfg, with_bbox)
+
+
+@functools.partial(jax.jit, static_argnames=("cfg", "with_bbox"))
+def localize_windows_gray(
+    gray: jnp.ndarray,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_bbox: bool = False,
+) -> Tuple[RegionTable, jnp.ndarray]:
+    """As localize_windows but taking pre-grayscaled (B, T, H, W) uint8.
+
+    Used when the host converts to grayscale before upload (bit-identical
+    either way — see ops.color.bgr_to_gray_host) to cut transfer bytes 3x on
+    bandwidth-bound links."""
+    B, T, H, W = gray.shape
     motion, iters = rpca_motion_window_batched(gray, cfg)
     flat = motion.reshape(B * T, H, W)
     filtered = motion_postfilter(flat, cfg)

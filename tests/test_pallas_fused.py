@@ -1,0 +1,43 @@
+"""Pallas fused motion filter (interpret mode on CPU) vs the XLA chain and
+the native-library oracle."""
+
+import cv2
+import numpy as np
+from scipy import ndimage
+
+from swiftwatcher_tpu.config import DEFAULT_CONFIG
+from swiftwatcher_tpu.ops.filtering import motion_postfilter
+from swiftwatcher_tpu.ops.pallas.fused_motion import fused_motion_filter
+
+
+def _oracle(frame):
+    f = cv2.bilateralFilter(frame, 7, 15, 1).astype(np.uint8)
+    _, f = cv2.threshold(f, 15, 255, cv2.THRESH_TOZERO)
+    return ndimage.grey_opening(f.astype(np.uint8), size=(3, 3)).astype(np.uint8)
+
+
+def _realistic_motion(rng, N=3, H=48, W=64):
+    m = np.zeros((N, H, W), np.uint8)
+    for n in range(N):
+        for _ in range(3):
+            y, x = rng.integers(2, H - 6), rng.integers(2, W - 6)
+            m[n, y : y + 4, x : x + 4] = rng.integers(60, 200)
+    noise = rng.integers(0, 10, size=m.shape, dtype=np.uint8)
+    return np.maximum(m, noise)
+
+
+def test_fused_matches_xla_chain(rng):
+    m = _realistic_motion(rng)
+    xla = np.asarray(motion_postfilter(m, DEFAULT_CONFIG))
+    fused = np.asarray(fused_motion_filter(m, DEFAULT_CONFIG, interpret=True))
+    np.testing.assert_array_equal(fused, xla)
+
+
+def test_fused_matches_native_oracle(rng):
+    m = _realistic_motion(rng, N=2)
+    fused = np.asarray(fused_motion_filter(m, DEFAULT_CONFIG, interpret=True))
+    for n in range(len(m)):
+        expected = _oracle(m[n])
+        diff = np.abs(fused[n].astype(int) - expected.astype(int))
+        assert diff.max() <= 1
+        assert (diff == 0).mean() > 0.99

@@ -1,0 +1,83 @@
+"""Device tracking scan vs the host (scipy-exact) tracker."""
+
+import numpy as np
+
+import jax
+import jax.numpy as jnp
+
+from swiftwatcher_tpu.config import DEFAULT_CONFIG
+from swiftwatcher_tpu.geometry import (
+    crop_region_from_corners,
+    roi_crop_region_from_corners,
+)
+from swiftwatcher_tpu.io.synthetic import make_video
+from swiftwatcher_tpu.ops.roi_mask import generate_roi_mask
+from swiftwatcher_tpu.pipeline.window import localize_windows
+from swiftwatcher_tpu.pipeline.tracking import SegmentTracker
+from swiftwatcher_tpu.pipeline.runner import extract_frame_segments_batched
+from swiftwatcher_tpu.pipeline.tracking_jax import (
+    compact_tables,
+    empty_state,
+    track_window,
+)
+
+
+def test_device_tracking_matches_host():
+    cfg = DEFAULT_CONFIG
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1, n_vanishing=1)
+    crop_region = crop_region_from_corners(video.corners, cfg)
+    roi_region = roi_crop_region_from_corners(video.corners, cfg)
+    roi_mask = np.asarray(
+        generate_roi_mask(video.frames[0], roi_region, crop_region, cfg)
+    )
+    (x1, y1), (x2, y2) = crop_region
+
+    host = SegmentTracker(roi_mask, cfg)
+    state = empty_state(cfg.max_tracks)
+    dev_events = []
+
+    for w0 in range(0, 63, 21):
+        crops = np.stack(
+            [np.ascontiguousarray(video.frames[w0 : w0 + 21, y1:y2, x1:x2, :])]
+        )
+        table, _ = localize_windows(crops, cfg)
+        table_h = jax.tree.map(np.asarray, table)
+
+        # host path
+        for t in range(21):
+            host.step(extract_frame_segments_batched(table_h, 0, t), w0 + t, None)
+
+        # device path
+        cy, cx, kvalid, _ = compact_tables(table, cfg.max_tracks)
+        fns = jnp.arange(w0, w0 + 21, dtype=jnp.int32)
+        state, ev = track_window(
+            state, jnp.asarray(roi_mask), cy[0], cx[0], kvalid[0], fns, cfg
+        )
+        n = int(ev.count)
+        assert not bool(ev.overflow)
+        for i in range(n):
+            dev_events.append(
+                (
+                    int(ev.last_fn[i]),
+                    float(ev.first_cy[i]),
+                    float(ev.first_cx[i]),
+                    float(ev.last_cy[i]),
+                    float(ev.last_cx[i]),
+                )
+            )
+
+    host_events = sorted(
+        (
+            e.frame_number,
+            e.first_centroid[0],
+            e.first_centroid[1],
+            e.last_centroid[0],
+            e.last_centroid[1],
+        )
+        for e in host.events
+    )
+    dev_events = sorted(dev_events)
+    assert len(dev_events) == len(host_events) > 0
+    for d, h in zip(dev_events, host_events):
+        assert d[0] == h[0]
+        np.testing.assert_allclose(d[1:], h[1:], atol=1e-3)
