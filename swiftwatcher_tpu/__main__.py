@@ -55,6 +55,11 @@ def main(argv=None) -> int:
             debug=args.debug,
             segment_filter=segment_filter,
             status_cb=ui.frames_processed_status,
+            # The reference writes under <video file path>/segments
+            # (__main__.py:95-96), which treats the video FILE as a directory
+            # and cannot be created on any filesystem — a latent crash.  We
+            # use the sibling output directory instead.
+            export_segments_dir=(output_dir / "segments") if args.export else None,
         )
         if result.df_labels is None:
             print("[!] No events detected in video '{}'.".format(src_path.stem))

@@ -1,0 +1,143 @@
+"""ctypes bindings for the native frame pump (native/framepump.cpp).
+
+Compiles the shared library on first use (g++ is a build-time dependency;
+the wheel can also ship a prebuilt .so).  All entry points degrade
+gracefully: `is_available()` gates usage, and callers fall back to the
+cv2/NumPy paths when the toolchain or libjpeg is absent.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "framepump.cpp"
+_CACHE = Path(
+    os.environ.get("SWTPU_NATIVE_CACHE", os.path.expanduser("~/.cache/swiftwatcher_tpu"))
+)
+_LIB_PATH = _CACHE / "libframepump.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        str(_SRC), "-o", str(_LIB_PATH), "-ljpeg", "-lpthread",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError):
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        if not _LIB_PATH.exists() or (
+            _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        ):
+            if not _SRC.exists() or not _build():
+                return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.swt_gray_crop_batch.argtypes = [
+            u8p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            u8p, ctypes.c_int,
+        ]
+        lib.swt_decode_jpeg_bgr.argtypes = [
+            u8p, ctypes.c_size_t, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.swt_decode_jpeg_bgr.restype = ctypes.c_int
+        lib.swt_decode_window_gray.argtypes = [
+            u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+        ]
+        lib.swt_decode_window_gray.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+def _u8ptr(a: np.ndarray):
+    return a.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8))
+
+
+def gray_crop_batch(
+    frames: np.ndarray, crop_region, n_threads: int = 4
+) -> np.ndarray:
+    """(N, H, W, 3) uint8 BGR -> (N, y2-y1, x2-x1) uint8 grayscale crops,
+    bit-exact with cv2.cvtColor + slicing, off the GIL."""
+    lib = _load()
+    assert lib is not None
+    frames = np.ascontiguousarray(frames)
+    n, H, W, _ = frames.shape
+    (x1, y1), (x2, y2) = crop_region
+    out = np.empty((n, y2 - y1, x2 - x1), np.uint8)
+    lib.swt_gray_crop_batch(
+        _u8ptr(frames), n, H, W, y1, y2, x1, x2, _u8ptr(out), n_threads
+    )
+    return out
+
+
+def decode_jpeg_bgr(data: bytes, max_h: int = 4320, max_w: int = 7680) -> Optional[np.ndarray]:
+    """JPEG bytes -> (H, W, 3) uint8 BGR, or None on decode failure."""
+    lib = _load()
+    assert lib is not None
+    buf = np.frombuffer(data, np.uint8)
+    # C writes scanlines contiguously at the DECODED width's stride, so use a
+    # flat buffer and reshape by the actual (h, w) afterwards.
+    out = np.empty(max_h * max_w * 3, np.uint8)
+    h = ctypes.c_int(0)
+    w = ctypes.c_int(0)
+    rc = lib.swt_decode_jpeg_bgr(
+        _u8ptr(buf), buf.size, _u8ptr(out), max_h, max_w,
+        ctypes.byref(h), ctypes.byref(w),
+    )
+    if rc != 0:
+        return None
+    n = h.value * w.value * 3
+    return out[:n].reshape(h.value, w.value, 3).copy()
+
+
+def decode_window_gray(
+    encoded_frames, H: int, W: int, crop_region, n_threads: int = 4
+) -> tuple[np.ndarray, int]:
+    """Decode a window of JPEG buffers straight to cropped grayscale.
+
+    encoded_frames: sequence of bytes-like JPEG payloads of (H, W) frames.
+    Returns ((N, ch, cw) uint8, n_decoded); failed frames are zeroed."""
+    lib = _load()
+    assert lib is not None
+    bufs = np.frombuffer(b"".join(bytes(e) for e in encoded_frames), np.uint8)
+    offsets = np.zeros(len(encoded_frames) + 1, np.int64)
+    np.cumsum([len(e) for e in encoded_frames], out=offsets[1:])
+    (x1, y1), (x2, y2) = crop_region
+    out = np.empty((len(encoded_frames), y2 - y1, x2 - x1), np.uint8)
+    n_ok = lib.swt_decode_window_gray(
+        _u8ptr(bufs), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        len(encoded_frames), H, W, y1, y2, x1, x2, _u8ptr(out), n_threads,
+    )
+    return out, int(n_ok)

@@ -33,13 +33,17 @@ class WindowPrefetcher:
         cfg: PipelineConfig = DEFAULT_CONFIG,
         keep_frames: bool = False,
         depth: Optional[int] = None,
+        initial_planned: int = 0,
     ):
         self.source = source
         self.cfg = cfg
         self.keep_frames = keep_frames
         (self.x1, self.y1), (self.x2, self.y2) = crop_region
-        self._planned = 0
-        self._exhausted = False
+        self._planned = initial_planned
+        self._exhausted = initial_planned >= source.total_frames
+        from . import native as _native_mod
+
+        self._native = _native_mod if _native_mod.is_available() else None
         self._ex = ThreadPoolExecutor(max_workers=1)
         self._depth = depth or cfg.prefetch_depth
         self._futures = []
@@ -57,10 +61,17 @@ class WindowPrefetcher:
         wins = []
         while len(wins) < B and self._planned < self.source.total_frames:
             frames, numbers, stamps = self.source.get_window(cfg.window_size)
-            crops = np.stack(
-                [f[self.y1 : self.y2, self.x1 : self.x2, :] for f in frames]
-            )
-            gray = bgr_to_gray_host(crops)
+            if self._native is not None:
+                # C++ pump: crop + fixed-point grayscale off the GIL
+                gray = self._native.gray_crop_batch(
+                    np.stack(frames),
+                    ((self.x1, self.y1), (self.x2, self.y2)),
+                )
+            else:
+                crops = np.stack(
+                    [f[self.y1 : self.y2, self.x1 : self.x2, :] for f in frames]
+                )
+                gray = bgr_to_gray_host(crops)
             wins.append((frames if self.keep_frames else None, numbers, stamps, gray))
             self._planned += sum(1 for n in numbers if n >= 0)
         if not wins:
@@ -74,7 +85,8 @@ class WindowPrefetcher:
         gray_dev = jax.device_put(gray)  # upload starts here, off-thread
         if self._planned >= self.source.total_frames:
             self._exhausted = True
-        return gray_dev, [(w[0], w[1], w[2]) for w in wins]
+        cursor = (self.source.next_frame_number, self._planned)
+        return gray_dev, [(w[0], w[1], w[2]) for w in wins], cursor
 
     def next(self):
         """Pop the next ready batch (None when the video is done)."""

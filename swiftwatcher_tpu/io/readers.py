@@ -141,7 +141,10 @@ class HDF5Source(FrameSource):
         try:
             encoded = self._dset[frame_number]
             frame = cv2.imdecode(encoded, cv2.IMREAD_COLOR)
-        except ValueError:
+        except (ValueError, IndexError):
+            # old h5py raised ValueError (which the reference catches at
+            # io_video.py:123); modern h5py raises IndexError — same
+            # decode-failure semantics either way
             frame = None
         if increment:
             self.next_frame_number += 1
@@ -181,5 +184,7 @@ def open_source(filepath, start: int = 0, end: int = 0) -> FrameSource:
     if p.suffix in (".h5", ".hdf5"):
         return HDF5Source(p, start, end)
     if p.suffix == ".npy":
-        return ArraySource(np.load(p), fps=30.0, start=start, end=end)
+        src = ArraySource(np.load(p), fps=30.0, start=start, end=end)
+        src.filepath = p
+        return src
     return VideoFileSource(p, end)

@@ -23,6 +23,8 @@ from ..ops.roi_mask import generate_roi_mask
 from ..io.readers import FrameSource
 from ..io.export import export_results, generate_test_dir
 from ..io.prefetch import WindowPrefetcher
+from ..utils.metrics import RunMetrics
+from ..utils.checkpoint import save_checkpoint, load_checkpoint
 from .window import localize_windows_gray
 from .tracking import SegmentTracker, Event
 from .events import classify_events
@@ -37,6 +39,7 @@ class VideoResult:
     frames_processed: int
     ialm_iters: List[int]
     export_dir: Optional[Path] = None
+    metrics: Optional[object] = None
 
 
 def extract_frame_segments(table, t: int):
@@ -68,12 +71,20 @@ def run_video(
     debug: bool = False,
     segment_filter: Optional[Callable] = None,
     status_cb: Optional[Callable[[int, int], None]] = None,
+    export_segments_dir: Optional[Path] = None,
+    checkpoint_path: Optional[Path] = None,
+    checkpoint_interval_batches: int = 16,
 ) -> VideoResult:
     """Count swifts in one video.
 
     segment_filter: optional per-frame callable (centroids, frame_number) ->
     keep mask, the hook where the SqueezeNet classifier plugs in
     (__main__.py:84-85).
+    export_segments_dir: when set (--export), per-segment overlay/crop PNGs
+    are written there (__main__.py:94-96).
+    checkpoint_path: when set, tracker state + frame cursor are serialized
+    there every checkpoint_interval_batches, and a pre-existing checkpoint
+    at that path resumes the run (no reference counterpart; SURVEY.md §5).
     """
     # --- init: regions + ROI mask from the first frame (once per video) ---
     ff = source.read_frame(0, increment=False)
@@ -82,22 +93,29 @@ def run_video(
     roi_mask = np.asarray(generate_roi_mask(ff, roi_region, crop_region, cfg))
 
     tracker = SegmentTracker(roi_mask, cfg)
+    metrics = RunMetrics()
 
     frames_processed = 0
+    if checkpoint_path is not None:
+        restored = load_checkpoint(checkpoint_path, tracker)
+        if restored is not None:
+            source.next_frame_number, frames_processed = restored
+
     ialm_iters: List[int] = []
-    needs_frames = segment_filter is not None
+    needs_frames = segment_filter is not None or export_segments_dir is not None
     prefetcher = WindowPrefetcher(
-        source, crop_region, cfg, keep_frames=needs_frames
+        source, crop_region, cfg, keep_frames=needs_frames,
+        initial_planned=frames_processed,
     )
 
     def dispatch(batch):
-        gray_dev, wins = batch
+        gray_dev, wins, cursor = batch
         table, iters = localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames)
-        return table, iters, wins
+        return table, iters, wins, cursor
 
     def consume(pending):
         nonlocal frames_processed
-        table, iters, wins = pending
+        table, iters, wins, cursor = pending
         table = jax.tree.map(np.asarray, table)  # waits for the device
         for b, (frames, numbers, stamps) in enumerate(wins):
             ialm_iters.append(int(np.asarray(iters)[b]))
@@ -107,8 +125,21 @@ def run_video(
                     keep = segment_filter(table, (b, t), frames[t], crop_region)
                     centroids = [c for c, k in zip(centroids, keep) if k]
                 tracker.step(centroids, numbers[t], stamps[t])
+                if export_segments_dir is not None:
+                    from ..io.segments_export import export_frame_segments
+
+                    export_frame_segments(
+                        frames[t], table, (b, t), numbers[t], crop_region,
+                        export_segments_dir, source.filepath.stem, cfg,
+                    )
+                metrics.segments_total += len(centroids)
                 if numbers[t] >= 0:
                     frames_processed += 1
+            metrics.windows += 1
+        metrics.batches += 1
+        metrics.frames_processed = frames_processed
+        if checkpoint_path is not None and metrics.batches % checkpoint_interval_batches == 0:
+            save_checkpoint(checkpoint_path, cursor[0], frames_processed, tracker)
         if status_cb is not None:
             status_cb(frames_processed, source.total_frames)
 
@@ -129,6 +160,9 @@ def run_video(
         prefetcher.close()
 
     events = tracker.events
+    metrics.events = len(events)
+    metrics.ialm_iters = ialm_iters
+    metrics.read_errors = source.read_errors
     df_labels = classify_events(events, cfg) if events else None
 
     total_pred = total_rej = 0
@@ -144,6 +178,8 @@ def run_video(
         total_pred = int((df_labels["label"] > 0).sum())
         total_rej = int((df_labels["label"] == 0).sum())
 
+    if out_dir is not None:
+        metrics.write_manifest(Path(out_dir) / "run_manifest.json")
     return VideoResult(
         events=events,
         df_labels=df_labels,
@@ -152,4 +188,5 @@ def run_video(
         frames_processed=frames_processed,
         ialm_iters=ialm_iters,
         export_dir=out_dir,
+        metrics=metrics,
     )

@@ -1,0 +1,89 @@
+"""Auxiliary subsystems: checkpoint/resume, metrics manifest, segment
+export, research tools."""
+
+import json
+
+import numpy as np
+import pytest
+
+from swiftwatcher_tpu.config import DEFAULT_CONFIG
+from swiftwatcher_tpu.io.readers import ArraySource
+from swiftwatcher_tpu.io.synthetic import make_video
+from swiftwatcher_tpu.pipeline.runner import run_video
+
+
+@pytest.fixture(scope="module")
+def video():
+    return make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1, n_vanishing=1)
+
+
+def test_checkpoint_resume_same_counts(tmp_path, video):
+    ck = tmp_path / "state.ckpt"
+
+    # Full run, checkpointing every batch.
+    full = run_video(
+        ArraySource(video.frames, fps=video.fps),
+        video.corners,
+        DEFAULT_CONFIG,
+        checkpoint_path=ck,
+        checkpoint_interval_batches=1,
+    )
+    assert ck.exists()
+
+    # "Crash" after the run wrote checkpoints mid-way: rewind the checkpoint
+    # to a mid-run snapshot by re-running only the first part.
+    ck2 = tmp_path / "state2.ckpt"
+    partial_src = ArraySource(video.frames, fps=video.fps)
+    partial_src.total_frames = 21  # stop after the first window batch
+    run_video(
+        partial_src, video.corners, DEFAULT_CONFIG,
+        checkpoint_path=ck2, checkpoint_interval_batches=1,
+    )
+    assert ck2.exists()
+
+    # Resume from the mid-run checkpoint and finish the video.
+    resumed = run_video(
+        ArraySource(video.frames, fps=video.fps),
+        video.corners,
+        DEFAULT_CONFIG,
+        checkpoint_path=ck2,
+    )
+    assert resumed.total_predicted == full.total_predicted
+    assert resumed.total_rejected == full.total_rejected
+    assert sorted(e.frame_number for e in resumed.events) == sorted(
+        e.frame_number for e in full.events
+    )
+
+
+def test_metrics_manifest(tmp_path, video):
+    result = run_video(
+        ArraySource(video.frames, fps=video.fps),
+        video.corners,
+        DEFAULT_CONFIG,
+        export_dir=tmp_path / "out",
+    )
+    manifest = json.load(open(tmp_path / "out" / "run_manifest.json"))
+    assert manifest["frames_processed"] == 63
+    assert manifest["windows"] == 3
+    assert manifest["events"] == len(result.events) > 0
+    assert manifest["segments_total"] > 0
+    assert manifest["frames_per_sec"] > 0
+
+
+def test_segment_export_pngs(tmp_path, video):
+    run_video(
+        ArraySource(video.frames, fps=video.fps),
+        video.corners,
+        DEFAULT_CONFIG,
+        export_segments_dir=tmp_path / "segments",
+    )
+    crops = list((tmp_path / "segments").glob("*.png"))
+    overlays = list((tmp_path / "segments" / "overlay").glob("*.png"))
+    assert len(crops) > 0
+    assert len(overlays) == len(crops)
+    # naming: "<src>"_<frame>_<label>_<nsegs>.png
+    assert all(p.name.startswith('"synthetic"_') for p in crops)
+    import cv2
+
+    img = cv2.imread(str(crops[0]))
+    assert img.shape[0] >= 24 and img.shape[1] >= 24

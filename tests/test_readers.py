@@ -1,0 +1,67 @@
+"""Frame source semantics: HDF5 round trip, inclusive-end duplication,
+null-frame padding — the reference's I/O quirks (io_video.py)."""
+
+import cv2
+import h5py
+import numpy as np
+
+from swiftwatcher_tpu.io.readers import ArraySource, HDF5Source, open_source
+from swiftwatcher_tpu.io.synthetic import make_video
+
+
+def _write_h5(path, frames, fps=30.0):
+    enc = [cv2.imencode(".png", f)[1] for f in frames]
+    maxlen = max(len(e) for e in enc)
+    data = np.zeros((len(enc), maxlen), np.uint8)
+    for i, e in enumerate(enc):
+        data[i, : len(e)] = e.ravel()
+    with h5py.File(path, "w") as fh:
+        d = fh.create_dataset("VideoFrames", data=data)
+        fh.attrs["CAP_PROP_FPS"] = fps
+        fh.attrs["CAP_PROP_FRAME_COUNT"] = len(frames)
+
+
+def test_hdf5_source_roundtrip(tmp_path, rng):
+    video = make_video(seed=1, n_frames=8, H=60, W=80, n_entering=0, n_crossing=0)
+    p = tmp_path / "clip.h5"
+    _write_h5(p, video.frames)
+    src = HDF5Source(p)
+    assert src.fps == 30.0
+    assert src.total_frames == 8
+    f, num, ts = src.get_frame()
+    assert num == 0
+    np.testing.assert_array_equal(f, video.frames[0])  # PNG is lossless
+
+
+def test_inclusive_end_duplicates_last_frame(tmp_path):
+    video = make_video(seed=1, n_frames=5, H=40, W=60, n_entering=0, n_crossing=0)
+    p = tmp_path / "clip.h5"
+    _write_h5(p, video.frames)
+    src = HDF5Source(p)
+    frames, nums, _ = src.get_window(8)
+    # io_video.py:40: bounds check is start <= fn <= end INCLUSIVE, so frame
+    # index 5 is requested, fails to decode, and substitutes frame 4.
+    assert nums == [0, 1, 2, 3, 4, 5, -1, -1]
+    np.testing.assert_array_equal(frames[5], video.frames[4])
+    assert src.read_errors == 1
+    # null frames are zero images with the null timestamp
+    assert frames[6].max() == 0 and frames[7].max() == 0
+
+
+def test_array_source_start_honored():
+    video = make_video(seed=1, n_frames=10, H=40, W=60, n_entering=0, n_crossing=0)
+    src = ArraySource(video.frames, fps=30.0, start=4)
+    assert src.total_frames == 6
+    _, num, _ = src.get_frame()
+    assert num == 4
+
+
+def test_open_source_by_suffix(tmp_path):
+    video = make_video(seed=1, n_frames=4, H=40, W=60, n_entering=0, n_crossing=0)
+    np.save(tmp_path / "c.npy", video.frames)
+    src = open_source(tmp_path / "c.npy")
+    assert src.total_frames == 4
+    p = tmp_path / "c.h5"
+    _write_h5(p, video.frames)
+    src = open_source(p)
+    assert isinstance(src, HDF5Source)
