@@ -111,6 +111,9 @@ class PipelineConfig:
     # Windows per device dispatch: amortizes host->device round-trip latency
     # (the per-call overhead dwarfs compute for a single 21-frame window).
     batch_windows: int = 8
+    # Use the fused Pallas motion-filter kernel on TPU (bit-identical to the
+    # XLA chain; one HBM round trip instead of four).
+    use_pallas_postfilter: bool = True
 
 
 DEFAULT_CONFIG = PipelineConfig()
