@@ -38,6 +38,32 @@ from swiftwatcher_tpu.pipeline.runner import run_video
 BASELINE_FPS = 2000.0
 
 
+def resident_fps(cfg, video, frames=13440):
+    """On-chip localization throughput with device-resident gray windows."""
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.geometry import crop_region_from_corners
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+    from swiftwatcher_tpu.pipeline.window import localize_windows_gray
+
+    (x1, y1), (x2, y2) = crop_region_from_corners(video.corners, cfg)
+    B, T = cfg.batch_windows, cfg.window_size
+    gray = bgr_to_gray_host(video.frames[:T, y1:y2, x1:x2, :])
+    batch = jax.device_put(np.broadcast_to(gray, (B, T) + gray.shape[1:]).copy())
+
+    def run_once():
+        table, iters = localize_windows_gray(batch, cfg)
+        return int(jnp.sum(table.area) + jnp.sum(iters))
+
+    run_once()  # compile
+    n_batches = max(frames // (B * T), 1)
+    start = time.perf_counter()
+    for _ in range(n_batches):
+        run_once()
+    elapsed = time.perf_counter() - start
+    return n_batches * B * T / elapsed
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=840)
@@ -45,6 +71,13 @@ def main():
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
     ap.add_argument("--batch-windows", type=int, default=DEFAULT_CONFIG.batch_windows)
+    ap.add_argument(
+        "--resident",
+        action="store_true",
+        help="measure on-chip throughput with device-resident windows "
+        "(excludes the host link — this rig's tunnel caps at ~36 MB/s, "
+        "~1000x below a real v5e host link)",
+    )
     args = ap.parse_args()
 
     import dataclasses
@@ -62,6 +95,23 @@ def main():
         n_vanishing=1,
     )
 
+    if args.resident:
+        import dataclasses as _dc
+
+        rcfg = _dc.replace(cfg, batch_windows=max(args.batch_windows, 32))
+        fps = resident_fps(rcfg, video, frames=args.frames)
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_frames_per_sec_per_chip_resident",
+                    "value": round(fps, 2),
+                    "unit": "frames/sec",
+                    "vs_baseline": round(fps / BASELINE_FPS, 4),
+                }
+            )
+        )
+        return 0
+
     # Warmup: full pipeline once to pay compiles.
     warm = LoopingArraySource(video.frames, total=args.warmup_frames, fps=video.fps)
     run_video(warm, video.corners, cfg)
@@ -72,6 +122,14 @@ def main():
     elapsed = time.perf_counter() - start
 
     fps = result.frames_processed / elapsed
+
+    # Supplementary: on-chip throughput with device-resident windows (this
+    # rig's host link is a ~36 MB/s tunnel, ~1000x below a real v5e host
+    # interface, so the end-to-end number is transfer-bound here).
+    import dataclasses as _dc
+
+    r_fps = resident_fps(_dc.replace(cfg, batch_windows=64), video, frames=13440)
+
     print(
         json.dumps(
             {
@@ -79,6 +137,9 @@ def main():
                 "value": round(fps, 2),
                 "unit": "frames/sec",
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
+                "resident_frames_per_sec": round(r_fps, 2),
+                "resident_vs_baseline": round(r_fps / BASELINE_FPS, 4),
+                "note": "end-to-end is bound by this rig's ~36MB/s TPU tunnel; resident = on-chip pipeline throughput",
             }
         )
     )

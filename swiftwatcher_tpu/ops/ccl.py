@@ -53,8 +53,10 @@ def _min_pool_8(lbl: jnp.ndarray, sentinel: float) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters",))
-def label_components(fg: jnp.ndarray, max_iters: int = 256) -> Tuple[jnp.ndarray, jnp.ndarray]:
+@functools.partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
+def label_components(
+    fg: jnp.ndarray, max_iters: int = 256, use_pallas: bool | None = None
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label 8-connected foreground components of a (T, H, W) bool batch.
 
     Returns (labels, counts): labels is int32 (T, H, W) with background 0 and
@@ -80,10 +82,17 @@ def label_components(fg: jnp.ndarray, max_iters: int = 256) -> Tuple[jnp.ndarray
         + jax.lax.broadcasted_iota(jnp.int32, (T, H, W), 2)
     )
     lbl0 = jnp.where(fg, idx.astype(jnp.float32), jnp.float32(sentinel))
-    CHUNK = 4  # pools per convergence check (checks cost a full reduction)
+    CHUNK = 6  # pools per convergence check (checks cost a full reduction)
     phase1_iters = min(24, max_iters)
+    if use_pallas is None:
+        use_pallas = jax.default_backend() == "tpu"
 
     def pool_chunk(lbl):
+        if use_pallas:
+            # K sweeps per HBM round trip (VMEM-resident between sweeps)
+            from .pallas.ccl_sweep import sweep_chunk
+
+            return sweep_chunk(lbl, fg, CHUNK, sentinel)
         for _ in range(CHUNK):
             pooled = _min_pool_8(lbl, sentinel)
             lbl = jnp.where(fg, jnp.minimum(lbl, pooled), sentinel)

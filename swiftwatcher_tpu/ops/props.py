@@ -74,16 +74,23 @@ def region_tables(labels_u8: jnp.ndarray, with_bbox: bool = True) -> RegionTable
     lab = labels_u8.reshape(T, H, W).astype(jnp.int32)
     k_ids = jnp.arange(MAX_LABELS, dtype=jnp.int32)
 
-    # Per-row label counts: (T, H, MAX_LABELS) via one-hot sum over W.
-    onehot = (lab[..., None] == k_ids).astype(jnp.float32)  # fused by XLA
+    # One-hot in bf16 (0/1 are exact) with f32 accumulation: the streamed
+    # (T, H, W, K) intermediate is the cost of this op, so halving its bytes
+    # halves the runtime.  All sums stay exact: per-row/column counts are
+    # <= max(H, W) and accumulate in f32; coordinate-weighted sums are then
+    # taken over the SMALL count tensors in f32.
+    onehot = (lab[..., None] == k_ids).astype(jnp.bfloat16)
     row_counts = jnp.einsum(
         "thwk->thk", onehot, preferred_element_type=jnp.float32
+    )
+    col_counts = jnp.einsum(
+        "thwk->twk", onehot, preferred_element_type=jnp.float32
     )
     area_f = jnp.sum(row_counts, axis=1)
     ys = jnp.arange(H, dtype=jnp.float32)
     sum_y_f = jnp.einsum("thk,h->tk", row_counts, ys, preferred_element_type=jnp.float32)
     xs = jnp.arange(W, dtype=jnp.float32)
-    sum_x_f = jnp.einsum("thwk,w->tk", onehot, xs, preferred_element_type=jnp.float32)
+    sum_x_f = jnp.einsum("twk,w->tk", col_counts, xs, preferred_element_type=jnp.float32)
 
     area = jnp.round(area_f).astype(jnp.int32)
     sum_y = jnp.round(sum_y_f).astype(jnp.int32)
@@ -95,7 +102,7 @@ def region_tables(labels_u8: jnp.ndarray, with_bbox: bool = True) -> RegionTable
     if with_bbox:
         BIG = jnp.int32(1 << 20)
         row_has = row_counts > 0                       # (T, H, K)
-        col_has = jnp.einsum("thwk->twk", onehot) > 0  # (T, W, K)
+        col_has = col_counts > 0                       # (T, W, K)
         yy = jnp.arange(H, dtype=jnp.int32)[None, :, None]
         xx = jnp.arange(W, dtype=jnp.int32)[None, :, None]
         min_y = jnp.min(jnp.where(row_has, yy, BIG), axis=1)

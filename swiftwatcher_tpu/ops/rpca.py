@@ -223,23 +223,14 @@ def rpca_motion_window(
     Returns:
       (motion, iters): motion is (T, H, W) uint8 = clip(-E, 0, 255)
       (image_filtering.py:243-245), iters is the IALM iteration count.
-    """
-    T, H, W = gray_window.shape
-    dtype = jnp.dtype(cfg.rpca_dtype)
-    # Columns of X are frames (image_filtering.py:233-237).
-    X = gray_window.reshape(T, H * W).T.astype(dtype)
-    _, E, iters = ialm_rpca(
-        X,
-        lmbda=cfg.rpca_lambda,
-        tol=cfg.rpca_tol,
-        max_iter=cfg.rpca_max_iter,
-        rho=cfg.rpca_rho,
-        mu_cap=cfg.rpca_mu_cap,
-    )
-    motion = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8)
-    return motion.T.reshape(T, H, W), iters
 
-def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 2, reduce_fn=None):
+    Delegates to the batched solver with B=1 so single- and multi-window
+    paths share one arithmetic (and one compiled program family).
+    """
+    motion, iters = rpca_motion_window_batched(gray_window[None], cfg)
+    return motion[0], iters[0]
+
+def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 1, reduce_fn=None):
     """(S, V) for row-convention M (B, T, P): M = (V S) U^T rows.
 
     Same math as `_row_space_svd` (Gram + one-sided polish, see its

@@ -18,7 +18,10 @@ def test_batched_matches_single(rng):
     bt, bi = localize_windows(crops, DEFAULT_CONFIG, with_bbox=True)
     for k in range(3):
         st, _, si = localize_window(crops[k], DEFAULT_CONFIG)
-        assert int(bi[k]) == int(si)
+        # batch size changes XLA matmul tiling, which can move the IALM
+        # residual by an ulp right at the tolerance boundary: allow +-1
+        # iteration; the segment tables must still agree exactly.
+        assert abs(int(bi[k]) - int(si)) <= 1
         np.testing.assert_array_equal(np.asarray(bt.valid[k]), np.asarray(st.valid))
         np.testing.assert_array_equal(np.asarray(bt.area[k]), np.asarray(st.area))
         np.testing.assert_array_equal(np.asarray(bt.sum_y[k]), np.asarray(st.sum_y))
