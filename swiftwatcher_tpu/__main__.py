@@ -30,43 +30,60 @@ def main(argv=None) -> int:
     args = ui.parse_args(argv)
     filepaths = args.filepaths if args.filepaths else ui.select_filepaths()
 
+    segment_filter = None
+    if args.classify:
+        from .models.classifier import SqueezeNetSegmentFilter
+
+        segment_filter = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
+
+    jobs, out_dirs = [], []
     for src_path in filepaths:
         source = open_source(src_path, start=args.start, end=args.end if args.end > 0 else 0)
-
         output_dir = src_path.parent / src_path.stem
         attrs = output_dir / "attributes.json"
         if attrs.is_file():
             corners = ui.get_corners_from_file(attrs)
         else:
             corners = ui.select_chimney_corners(src_path)
+        jobs.append((source, corners))
+        out_dirs.append(output_dir)
 
-        segment_filter = None
-        if args.classify:
-            from .models.classifier import SqueezeNetSegmentFilter
-
-            segment_filter = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
-
-        ui.start_status(src_path.name)
-        result = run_video(
-            source,
-            corners,
-            DEFAULT_CONFIG,
-            export_dir=output_dir,
+    def kwargs_for(i):
+        return dict(
+            export_dir=out_dirs[i],
             debug=args.debug,
             segment_filter=segment_filter,
-            status_cb=ui.frames_processed_status,
+            status_cb=ui.frames_processed_status if args.parallel_videos == 1 else None,
             # The reference writes under <video file path>/segments
             # (__main__.py:95-96), which treats the video FILE as a directory
             # and cannot be created on any filesystem — a latent crash.  We
             # use the sibling output directory instead.
-            export_segments_dir=(output_dir / "segments") if args.export else None,
+            export_segments_dir=(out_dirs[i] / "segments") if args.export else None,
+            tracker_impl=args.tracker,
         )
+
+    if args.parallel_videos > 1:
+        from .pipeline.multi import run_videos
+
+        results = run_videos(
+            jobs,
+            DEFAULT_CONFIG,
+            max_concurrent=args.parallel_videos,
+            per_video_kwargs=kwargs_for,
+        )
+    else:
+        results = []
+        for i, (source, corners) in enumerate(jobs):
+            ui.start_status(filepaths[i].name)
+            results.append(run_video(source, corners, DEFAULT_CONFIG, **kwargs_for(i)))
+
+    for src_path, result in zip(filepaths, results):
         if result.df_labels is None:
             print("[!] No events detected in video '{}'.".format(src_path.stem))
         else:
             print(
-                "[-]     {} predicted / {} rejected swifts.".format(
-                    result.total_predicted, result.total_rejected
+                "[-]     {}: {} predicted / {} rejected swifts.".format(
+                    src_path.stem, result.total_predicted, result.total_rejected
                 )
             )
     return 0

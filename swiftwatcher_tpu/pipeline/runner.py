@@ -14,6 +14,7 @@ from pathlib import Path
 from typing import Callable, List, Optional
 
 import jax
+import jax.numpy as jnp
 import numpy as np
 import pandas as pd
 
@@ -74,6 +75,7 @@ def run_video(
     export_segments_dir: Optional[Path] = None,
     checkpoint_path: Optional[Path] = None,
     checkpoint_interval_batches: int = 16,
+    tracker_impl: str = "host",
 ) -> VideoResult:
     """Count swifts in one video.
 
@@ -85,7 +87,18 @@ def run_video(
     checkpoint_path: when set, tracker state + frame cursor are serialized
     there every checkpoint_interval_batches, and a pre-existing checkpoint
     at that path resumes the run (no reference counterpart; SURVEY.md §5).
+    tracker_impl: "host" (scipy LAP — the strict-parity path) or "device"
+    (the whole tracker as one lax.scan per batch, pipeline/tracking_jax.py;
+    only segment tables' scalars ever leave the device).  Device mode does
+    not support segment_filter/export_segments_dir (they need host frames)
+    or checkpointing, and falls back to host when those are requested.
     """
+    if tracker_impl == "device" and (
+        segment_filter is not None
+        or export_segments_dir is not None
+        or checkpoint_path is not None
+    ):
+        tracker_impl = "host"
     # --- init: regions + ROI mask from the first frame (once per video) ---
     ff = source.read_frame(0, increment=False)
     crop_region = crop_region_from_corners(corners, cfg)
@@ -108,14 +121,73 @@ def run_video(
         initial_planned=frames_processed,
     )
 
+    use_device_tracker = tracker_impl == "device"
+    if use_device_tracker:
+        from .tracking_jax import compact_tables, empty_state, track_window
+
+        roi_dev = jax.device_put(roi_mask)
+        dev_state = empty_state(cfg.max_tracks)
+
     def dispatch(batch):
         gray_dev, wins, cursor = batch
         table, iters = localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames)
-        return table, iters, wins, cursor
+        if use_device_tracker:
+            nonlocal dev_state
+            B = table.valid.shape[0]
+            T = cfg.window_size
+            cy, cx, kvalid, _ = compact_tables(table, cfg.max_tracks)
+            fns = jnp.asarray(
+                np.concatenate([np.asarray(w[1], np.int32) for w in wins]
+                               + [np.full(T, -1, np.int32)] * (B - len(wins)))
+            )
+            active = jnp.asarray(
+                np.arange(B * T) < len(wins) * T
+            )  # batch-padding frames are no-ops (the reference never runs them)
+            dev_state, ev = track_window(
+                dev_state,
+                roi_dev,
+                cy.reshape(B * T, -1),
+                cx.reshape(B * T, -1),
+                kvalid.reshape(B * T, -1),
+                fns,
+                cfg,
+                active=active,
+            )
+            return table, iters, wins, cursor, ev
+        return table, iters, wins, cursor, None
 
     def consume(pending):
         nonlocal frames_processed
-        table, iters, wins, cursor = pending
+        table, iters, wins, cursor, ev = pending
+        if use_device_tracker:
+            ev = jax.tree.map(np.asarray, ev)  # waits for the device
+            n = int(ev.count)
+            if bool(ev.overflow):
+                raise RuntimeError("device tracker event buffer overflow")
+            from ..io.export import frame_timestamp
+            from ..io.readers import NULL_TIMESTAMP
+
+            for i in range(n):
+                fn = int(ev.last_fn[i])
+                tracker.events.append(
+                    Event(
+                        first_centroid=(float(ev.first_cy[i]), float(ev.first_cx[i])),
+                        last_centroid=(float(ev.last_cy[i]), float(ev.last_cx[i])),
+                        frame_number=fn,
+                        timestamp=frame_timestamp(fn, source.fps)
+                        if fn >= 0
+                        else NULL_TIMESTAMP,
+                    )
+                )
+            for b, (frames, numbers, stamps) in enumerate(wins):
+                ialm_iters.append(int(np.asarray(iters)[b]))
+                frames_processed += sum(1 for x in numbers if x >= 0)
+                metrics.windows += 1
+            metrics.batches += 1
+            metrics.frames_processed = frames_processed
+            if status_cb is not None:
+                status_cb(frames_processed, source.total_frames)
+            return
         table = jax.tree.map(np.asarray, table)  # waits for the device
         for b, (frames, numbers, stamps) in enumerate(wins):
             ialm_iters.append(int(np.asarray(iters)[b]))

@@ -116,7 +116,7 @@ def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
 
 def _step(carry, inputs, roi_mask, cfg: PipelineConfig):
     state, events = carry
-    cy, cx, valid, fn = inputs
+    cy, cx, valid, fn, active = inputs
     K = state.cy.shape[0]
 
     cost = _cost_matrix(state, cy, cx, valid, cfg)
@@ -181,6 +181,13 @@ def _step(carry, inputs, roi_mask, cfg: PipelineConfig):
         first_cx=jnp.where(has_prev & valid, pf_cx, 0.0),
         fn=fn,
     )
+    # inactive frames (batch padding beyond the video's last real window)
+    # must be complete no-ops — the reference's loop never runs them
+    new_state, events = jax.tree.map(
+        lambda new, old: jnp.where(active, new, old),
+        (new_state, events),
+        carry,
+    )
     return (new_state, events), None
 
 
@@ -193,14 +200,19 @@ def track_window(
     valids: jnp.ndarray,   # (T, K) bool
     fns: jnp.ndarray,      # (T,) int32
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    active: jnp.ndarray | None = None,   # (T,) bool; False = no-op frame
 ) -> Tuple[TrackState, EventBuffer]:
     """Scan the tracker over one window's compacted segment tables."""
     events = empty_events(cap=4 * cys.shape[0])
+    if active is None:
+        active = jnp.ones(cys.shape[0], bool)
 
     def f(carry, inp):
         return _step(carry, inp, roi_mask, cfg)
 
-    (state, events), _ = jax.lax.scan(f, (state, events), (cys, cxs, valids, fns))
+    (state, events), _ = jax.lax.scan(
+        f, (state, events), (cys, cxs, valids, fns, active)
+    )
     return state, events
 
 

@@ -25,6 +25,17 @@ def parse_args(argv=None):
     parser.add_argument("--end", type=int, default=-1)
     parser.add_argument("--classify", action="store_true")
     parser.add_argument("--export", action="store_true")
+    # extensions beyond the reference's six flags:
+    parser.add_argument(
+        "--parallel-videos", type=int, default=1,
+        help="process up to N videos concurrently (default 1 = sequential, "
+        "matching the reference)",
+    )
+    parser.add_argument(
+        "--tracker", choices=["host", "device"], default="host",
+        help="tracking implementation: host (scipy, strict parity) or "
+        "device (full on-device lax.scan)",
+    )
     args = parser.parse_args(argv)
     args.filepaths = [Path(p).resolve() for p in args.filepaths]
     return args
