@@ -52,6 +52,9 @@ def _conv(x: jnp.ndarray, w: jnp.ndarray, b: jnp.ndarray, stride: int = 1,
         padding=padding,
         dimension_numbers=("NHWC", "HWIO", "NHWC"),
         preferred_element_type=x.dtype,
+        # true-f32 passes: TPU's default bf16 conv drifts logits by ~2e-2,
+        # enough to flip argmax on near-tie segments (classification parity)
+        precision=jax.lax.Precision.HIGHEST,
     )
     return y + b.reshape(1, 1, 1, -1)
 

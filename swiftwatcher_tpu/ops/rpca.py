@@ -4,20 +4,19 @@ TPU-native reformulation of the reference's per-window RPCA
 (image_filtering.py:220-301).  The reference runs a full LAPACK SVD of the
 (pixels x T) matrix every iteration on the host; here the entire solver is a
 single `lax.while_loop` compiled by XLA, and the SVD of the tall-skinny
-iterate M (P x T, T = 21) is computed through its row space only:
-
-    R = qr(M).R;  [[0, R^T], [R, 0]] = Q diag(+/-S) Q^T   (2T x 2T eigh)
-    A = U f(S) V^T = M V diag(f(S)/S) V^T
-
-which turns the hot kernel into a tall-skinny QR, two MXU-friendly
-(P x T) x (T x T) matmuls, and a tiny refined eigendecomposition — no
-LAPACK, no Gram squaring of the condition number (see `_row_space_svd`).
+iterate M (T = 21 frames x P pixels) is computed through its row space only:
+a T x T Gram eigendecomposition followed by a one-sided polish round that
+restores full relative accuracy on the small singular values (see
+`_row_space_svd` — plain Gram squaring is fatal in f32, and both XLA's
+batched QR and its eigh/svd are unusable here for speed/accuracy reasons).
+The hot kernel is then a handful of MXU-friendly (T x P) x (T x T) matmuls
+plus tiny Newton-refined eighs — no LAPACK anywhere.
 
 Parity notes (quirks of the reference that are deliberately replicated):
   * image_filtering.py:285: `svp = (S > 1/mu).shape[0]` evaluates to T (the
     *length* of the boolean array, not the count), so every iteration keeps
     all T singular values and `S - 1/mu` may go negative.  The row-space
-    reconstruction above is exact for this full-spectrum case.
+    reconstruction is exact for this full-spectrum case.
   * image_filtering.py:269-271: "norm_two" is the 2-norm of the *raveled*
     matrix, i.e. the Frobenius norm, not the spectral norm.
   * image_filtering.py:243-245: the returned motion image is the *negated*
@@ -230,31 +229,6 @@ def rpca_motion_window(
     motion, iters = rpca_motion_window_batched(gray_window[None], cfg)
     return motion[0], iters[0]
 
-def _row_svd_polished(M: jnp.ndarray, polish_steps: int = 1, reduce_fn=None):
-    """(S, V) for row-convention M (B, T, P): M = (V S) U^T rows.
-
-    Same math as `_row_space_svd` (Gram + one-sided polish, see its
-    docstring) but laid out so the huge P axis stays in the minor (lane)
-    dimension on TPU: every contraction is (B,T,T)@(B,T,P) or
-    (B,T,P)@(B,P,T), i.e. MXU-friendly with no transposes materialized.
-    Returns (S (B,T), V (B,T,T)) with G = M M^T = V S^2 V^T.
-    """
-    if reduce_fn is None:
-        reduce_fn = lambda x: x
-    MT = jnp.swapaxes(M, -1, -2)
-    G = reduce_fn(_mm(M, MT))
-    _, V = _refined_eigh(G)
-    S2 = None
-    for _ in range(polish_steps):
-        W = _mm(jnp.swapaxes(V, -1, -2), M)      # (B, T, P)
-        C = reduce_fn(_mm(W, jnp.swapaxes(W, -1, -2)))  # (B, T, T)
-        d, V1 = _refined_eigh(C)
-        V = _mm(V, V1)
-        S2 = d
-    S = jnp.sqrt(jnp.clip(S2, 0.0, None))
-    return S, V
-
-
 @functools.partial(
     jax.jit,
     static_argnames=("lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name"),
@@ -312,14 +286,36 @@ def ialm_rpca_batched(
             Eraw + lmbda * inv_mu, 0.0
         )
         M = X - Eupd + inv_mu * Y
-        S, V = _row_svd_polished(M, reduce_fn=allsum)
+        # Row-space SVD via Gram + one polish round (see _row_space_svd's
+        # docstring for the accuracy argument), inlined so the polish
+        # projection W1 is reused for the reconstruction: with V = V0 V1,
+        #   A = V diag(r) V^T M = [(V diag r) V1^T] (V0^T M) = Q W1
+        # — the small Q absorbs a full-size matmul.
+        # G only seeds V0, and the one-sided polish round repairs V0's error
+        # quadratically — so the Gram can use the fast single-pass bf16
+        # matmul (verified: <=1 uint8 count drift, zero iteration drift),
+        # while W1/C/A keep true-f32 passes.
+        G = allsum(
+            jnp.matmul(
+                M,
+                jnp.swapaxes(M, -1, -2),
+                precision=jax.lax.Precision.DEFAULT,
+                preferred_element_type=M.dtype,
+            )
+        )
+        _, V0 = _refined_eigh(G)
+        W1 = _mm(jnp.swapaxes(V0, -1, -2), M)                      # (B, T, P)
+        C = allsum(_mm(W1, jnp.swapaxes(W1, -1, -2)))
+        d, V1 = _refined_eigh(C)
+        S = jnp.sqrt(jnp.clip(d, 0.0, None))
+        V = _mm(V0, V1)
         floor = (
             jnp.finfo(dtype).eps * jnp.max(S, axis=-1, keepdims=True)
             + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
         )
         ratio = (S - (1.0 / mu)[..., None]) / jnp.maximum(S, floor)
-        W = _mm(jnp.swapaxes(V, -1, -2), M)                        # (B, T, P)
-        Aupd = _mm(V * ratio[..., None, :], W)
+        Q = _mm(V * ratio[..., None, :], jnp.swapaxes(V1, -1, -2))  # (B, T, T)
+        Aupd = _mm(Q, W1)
         Z = X - Aupd - Eupd
         Ynew = Y + mu[..., None, None] * Z
         mu_new = jnp.minimum(mu * rho, mu * mu_cap)
