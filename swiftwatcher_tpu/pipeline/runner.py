@@ -135,7 +135,7 @@ def run_video(
             nonlocal dev_state
             B = table.valid.shape[0]
             T = cfg.window_size
-            cy, cx, kvalid, _ = compact_tables(table, cfg.max_tracks)
+            cy, cx, kvalid, overflow = compact_tables(table, cfg.max_tracks)
             fns = jnp.asarray(
                 np.concatenate([np.asarray(w[1], np.int32) for w in wins]
                                + [np.full(T, -1, np.int32)] * (B - len(wins)))
@@ -153,14 +153,16 @@ def run_video(
                 cfg,
                 active=active,
             )
-            return table, iters, wins, cursor, ev
+            return table, iters, wins, cursor, (ev, overflow)
         return table, iters, wins, cursor, None
 
     def consume(pending):
         nonlocal frames_processed
         table, iters, wins, cursor, ev = pending
         if use_device_tracker:
+            ev, overflow = ev
             ev = jax.tree.map(np.asarray, ev)  # waits for the device
+            metrics.track_overflows += int(np.asarray(overflow).sum())
             n = int(ev.count)
             if bool(ev.overflow):
                 raise RuntimeError("device tracker event buffer overflow")

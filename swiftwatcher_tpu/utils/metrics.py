@@ -25,6 +25,9 @@ class RunMetrics:
     events: int = 0
     ialm_iters: List[int] = dataclasses.field(default_factory=list)
     read_errors: int = 0
+    track_overflows: int = 0  # frames whose segments exceeded max_tracks
+                              # (device tracker drops the excess; the host
+                              # tracker is capacity-free)
     stage_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
     _stage_t0: Dict[str, float] = dataclasses.field(default_factory=dict, repr=False)
 
@@ -62,6 +65,7 @@ class RunMetrics:
             "ialm_iters_mean": round(sum(it) / len(it), 2) if it else None,
             "ialm_iters_max": max(it) if it else None,
             "read_errors": self.read_errors,
+            "track_overflows": self.track_overflows,
             "stage_seconds": {k: round(v, 3) for k, v in self.stage_seconds.items()},
             "elapsed_s": round(self.elapsed, 3),
         }
