@@ -61,16 +61,16 @@ class WindowPrefetcher:
         wins = []
         while len(wins) < B and self._planned < self.source.total_frames:
             frames, numbers, stamps = self.source.get_window(cfg.window_size)
+            # Crop with numpy slicing FIRST (python slice semantics match the
+            # reference even for out-of-bounds regions), then grayscale the
+            # small crop stack — the C++ pump off the GIL when available.
+            crops = np.stack(
+                [f[self.y1 : self.y2, self.x1 : self.x2, :] for f in frames]
+            )
             if self._native is not None:
-                # C++ pump: crop + fixed-point grayscale off the GIL
-                gray = self._native.gray_crop_batch(
-                    np.stack(frames),
-                    ((self.x1, self.y1), (self.x2, self.y2)),
-                )
+                ch, cw = crops.shape[1], crops.shape[2]
+                gray = self._native.gray_crop_batch(crops, ((0, 0), (cw, ch)))
             else:
-                crops = np.stack(
-                    [f[self.y1 : self.y2, self.x1 : self.x2, :] for f in frames]
-                )
                 gray = bgr_to_gray_host(crops)
             wins.append((frames if self.keep_frames else None, numbers, stamps, gray))
             self._planned += sum(1 for n in numbers if n >= 0)

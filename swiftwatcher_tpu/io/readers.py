@@ -31,6 +31,10 @@ NULL_TIMESTAMP = "00:00:00.000"
 class FrameSource:
     """Base frame source; subclasses implement read_frame()."""
 
+    #: whether read_frame honors arbitrary frame_number (random access);
+    #: sequential sources (cv2.VideoCapture) cannot resume from checkpoints
+    supports_seek = True
+
     def __init__(self):
         self.fps = 0.0
         self.start_frame = 0
@@ -154,6 +158,8 @@ class HDF5Source(FrameSource):
 class VideoFileSource(FrameSource):
     """cv2.VideoCapture-backed source, strictly sequential
     (io_video.py:134-165)."""
+
+    supports_seek = False
 
     def __init__(self, filepath, end: int = 0):
         super().__init__()

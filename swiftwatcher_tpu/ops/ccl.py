@@ -161,7 +161,8 @@ def label_components(
     return labels, counts
 
 
-def wrap_labels_uint8(labels: jnp.ndarray) -> jnp.ndarray:
+def wrap_labels_uint8(labels: jnp.ndarray, modulus: int = 256) -> jnp.ndarray:
     """Reference parity: cc_labeling casts int labels to uint8
-    (image_filtering.py:329), aliasing labels mod 256 (256 -> background)."""
-    return (labels % 256).astype(jnp.uint8)
+    (image_filtering.py:329), aliasing labels mod `modulus` (by default 256,
+    with label 256 collapsing to background)."""
+    return (labels % modulus).astype(jnp.uint8)

@@ -72,10 +72,9 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
         _, min_val, SR, SC, shortest, _, pred = jax.lax.while_loop(
             dij_cond, dij_body, (i0, jnp.float32(0.0), SR0, SC0, shortest0, False, pred0)
         )
-        # sink column = last column marked in SC with unassigned row: recover
-        # it as the argmin at loop end (the column that terminated Dijkstra).
-        masked = jnp.where(SC, shortest, _INF)
-        # The terminating column j* satisfies SC[j*] & row4col[j*] < 0.
+        # The terminating column j* satisfies SC[j*] & row4col[j*] < 0 —
+        # Dijkstra stops at the first unassigned column it pops, so exactly
+        # one such column exists.
         cand = jnp.logical_and(SC, row4col < 0)
         j_sink = jnp.argmax(cand)  # exactly one such column exists
 

@@ -54,29 +54,36 @@ def median_blur(img: jnp.ndarray, ksize: int = 9) -> jnp.ndarray:
     return med if chan else med[..., 0]
 
 
-@jax.jit
-def otsu_threshold_value(img: jnp.ndarray) -> jnp.ndarray:
-    """Otsu threshold of a uint8 image, cv2's scan order (first max wins)."""
-    hist = jnp.bincount(img.astype(jnp.int32).ravel(), length=256).astype(jnp.float32)
-    n = img.size
-    scale = 1.0 / n
-    i = jnp.arange(256, dtype=jnp.float32)
+def otsu_threshold_value(img) -> int:
+    """Otsu threshold of a uint8 image, cv2's exact double-precision scan
+    (first maximum wins).
+
+    Runs on the host in float64: cv2's getThreshVal_Otsu_8u uses doubles,
+    and a float32 scan can flip the argmax when two bins' between-class
+    variances differ below f32 resolution.  This is init-only code (once
+    per video), so host math costs nothing.
+    """
+    import numpy as np
+
+    img = np.asarray(img)
+    hist = np.bincount(img.astype(np.int32).ravel(), minlength=256).astype(np.float64)
+    scale = 1.0 / img.size
+    i = np.arange(256, dtype=np.float64)
     p = hist * scale
-    q1 = jnp.cumsum(p)
-    mu_total = jnp.sum(i * p)
-    cum_ip = jnp.cumsum(i * p)
+    q1 = np.cumsum(p)
+    cum_ip = np.cumsum(i * p)
+    mu_total = cum_ip[-1]
     q2 = 1.0 - q1
-    eps = jnp.float32(1.1920929e-07)  # FLT_EPSILON, as cv2 uses
-    valid = jnp.logical_and(jnp.minimum(q1, q2) >= eps, jnp.maximum(q1, q2) <= 1.0 - eps)
-    mu1 = cum_ip / jnp.where(q1 > 0, q1, 1.0)
-    mu2 = (mu_total - q1 * mu1) / jnp.where(q2 > 0, q2, 1.0)
+    eps = np.float32(1.1920929e-07)  # FLT_EPSILON, as cv2 uses
+    valid = (np.minimum(q1, q2) >= eps) & (np.maximum(q1, q2) <= 1.0 - eps)
+    mu1 = cum_ip / np.where(q1 > 0, q1, 1.0)
+    mu2 = (mu_total - q1 * mu1) / np.where(q2 > 0, q2, 1.0)
     sigma = q1 * q2 * (mu1 - mu2) ** 2
-    sigma = jnp.where(valid, sigma, -1.0)
+    sigma = np.where(valid, sigma, -1.0)
     # cv2 keeps the FIRST maximum ('sigma > max_sigma'); argmax does too.
-    return jnp.argmax(sigma).astype(jnp.int32)
+    return int(np.argmax(sigma))
 
 
-@jax.jit
 def otsu_binary(img: jnp.ndarray) -> jnp.ndarray:
     """cv2.threshold(..., THRESH_BINARY + THRESH_OTSU): 255 where strictly
     above the Otsu threshold (image_filtering.py:141-150)."""

@@ -101,7 +101,7 @@ def sharded_localize_windows(
         flat = motion.reshape(b * t, h, w_local * mesh.shape["model"])
         filtered = motion_postfilter(flat, cfg)
         labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
-        table = region_tables(wrap_labels_uint8(labels), with_bbox=False)
+        table = region_tables(wrap_labels_uint8(labels, cfg.label_modulus), with_bbox=False)
         table = jax.tree.map(lambda a: a.reshape(b, t, *a.shape[1:]), table)
         return table, iters
 

@@ -53,10 +53,12 @@ def events_to_dataframe(events: Sequence[Event]) -> pd.DataFrame:
     return df
 
 
-def drop_false_angles(df: pd.DataFrame) -> pd.DataFrame:
-    """Drop angles that are exact multiples of 15 degrees
-    (event_classification.py:86-100)."""
-    mask = df["angle"] % 15 == 0
+def drop_false_angles(
+    df: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> pd.DataFrame:
+    """Drop angles that are exact multiples of cfg.false_angle_multiple
+    degrees (event_classification.py:86-100)."""
+    mask = df["angle"] % cfg.false_angle_multiple == 0
     if mask.any():
         df = df.drop(df[mask].index)
     return df
@@ -86,7 +88,7 @@ def classify_events(
     """Angle features -> filtered -> labeled DataFrame with columns
     [angle, label, events] (event_classification.py:47-60, 103-117)."""
     df = events_to_dataframe(events)
-    df = drop_false_angles(df)
+    df = drop_false_angles(df, cfg)
     if len(df) > 0:
         mode = compute_mode(df["angle"].to_numpy(), cfg)
         b = cfg.angle_band_halfwidth

@@ -79,9 +79,11 @@ def run_video(
 ) -> VideoResult:
     """Count swifts in one video.
 
-    segment_filter: optional per-frame callable (centroids, frame_number) ->
-    keep mask, the hook where the SqueezeNet classifier plugs in
-    (__main__.py:84-85).
+    segment_filter: optional per-frame hook where the SqueezeNet classifier
+    plugs in (__main__.py:84-85); called as
+    segment_filter(table, (batch_idx, frame_idx), full_frame_bgr,
+    crop_region) -> list[bool] keep-mask over the frame's valid segments in
+    label order (see models.classifier.SqueezeNetSegmentFilter.__call__).
     export_segments_dir: when set (--export), per-segment overlay/crop PNGs
     are written there (__main__.py:94-96).
     checkpoint_path: when set, tracker state + frame cursor are serialized
@@ -112,6 +114,12 @@ def run_video(
     if checkpoint_path is not None:
         restored = load_checkpoint(checkpoint_path, tracker)
         if restored is not None:
+            if not getattr(source, "supports_seek", False):
+                raise ValueError(
+                    "cannot resume a sequential source (cv2.VideoCapture "
+                    "reads in order and ignores frame numbers) — re-encode "
+                    "to HDF5/npy for checkpointed runs"
+                )
             source.next_frame_number, frames_processed = restored
 
     ialm_iters: List[int] = []
@@ -245,7 +253,7 @@ def run_video(
         out_dir = Path(export_dir)
         if debug:
             out_dir = generate_test_dir(out_dir)
-        total_pred = export_results(
+        export_results(
             out_dir, df_labels, source.fps, source.start_frame, source.end_frame
         )
     if df_labels is not None:

@@ -30,7 +30,10 @@ import jax.numpy as jnp
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..ops.hungarian import solve_lap
 
-_EPS32 = jnp.float32(2.220446049250313e-16)  # sys.float_info.epsilon, as f64
+# The reference adds float64 machine epsilon to 1.0 (segment_tracking.py:186);
+# in float32 that literal rounds back to exactly 1.0, losing the strict
+# "filler > diagonal" ordering — so use float32 machine epsilon instead.
+_EPS32 = jnp.float32(1.1920929e-07)
 _BIG = jnp.float32(1e9)
 
 

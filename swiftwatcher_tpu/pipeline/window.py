@@ -33,7 +33,7 @@ def _localize_impl(crop_bgr: jnp.ndarray, cfg: PipelineConfig):
     motion, iters = rpca_motion_window(gray, cfg)
     filtered = motion_postfilter(motion, cfg)
     labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
-    labels_u8 = wrap_labels_uint8(labels)
+    labels_u8 = wrap_labels_uint8(labels, cfg.label_modulus)
     table = region_tables(labels_u8)
     return table, labels_u8, iters
 
@@ -90,7 +90,7 @@ def localize_windows_gray(
     else:
         filtered = motion_postfilter(flat, cfg)
     labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
-    labels_u8 = wrap_labels_uint8(labels)
+    labels_u8 = wrap_labels_uint8(labels, cfg.label_modulus)
     table = region_tables(labels_u8, with_bbox=with_bbox)
     table = jax.tree.map(lambda a: a.reshape(B, T, *a.shape[1:]), table)
     return table, iters
@@ -114,7 +114,7 @@ def localize_window_debug(
     thr = thresh_to_zero(bil, cfg.motion_threshold)
     opened = grayscale_opening(thr, cfg.opening_size)
     labels, counts = label_components(opened > 0, cfg.ccl_max_iters)
-    labels_u8 = wrap_labels_uint8(labels)
+    labels_u8 = wrap_labels_uint8(labels, cfg.label_modulus)
     table = region_tables(labels_u8)
     stages = {
         "grayscale": gray,
