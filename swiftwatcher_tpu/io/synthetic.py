@@ -68,6 +68,7 @@ def make_video(
     noise: int = 3,
     dot: int = 4,
     amp: int = 120,
+    brightness_drift: float = 0.0,
 ) -> SyntheticVideo:
     """Build a synthetic clip.
 
@@ -134,6 +135,8 @@ def make_video(
 
     for t in range(n_frames):
         f = base + rng.integers(-noise, noise + 1, size=(H, W, 3))
+        if brightness_drift:
+            f = f + int(brightness_drift * t)  # slow global exposure drift
         for (t0, t1, ys, xs) in paths:
             if t0 <= t < t1:
                 y, x = int(ys[t - t0]), int(xs[t - t0])

@@ -172,7 +172,7 @@ def ialm_rpca(
     image_filtering.py:256-301 step for step (see module docstring for the
     replicated quirks).
 
-    method: 'device' (TPU-native QR + Jordan-Wielandt SVD, production) or 'host_svd'
+    method: 'device' (TPU-native Gram+polish SVD, production) or 'host_svd'
     (host LAPACK callback, strict-parity validation only).
     """
     dtype = X.dtype
