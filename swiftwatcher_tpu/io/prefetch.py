@@ -44,6 +44,24 @@ class WindowPrefetcher:
         from . import native as _native_mod
 
         self._native = _native_mod if _native_mod.is_available() else None
+        # Opt-in native JPEG->gray-crop decode for HDF5 sources (skips the
+        # cv2 decode + full-frame materialization entirely).
+        self._encoded_mode = bool(
+            cfg.native_decode
+            and not keep_frames
+            and self._native is not None
+            and hasattr(source, "get_encoded_window")
+        )
+        self._frame_hw = None
+        if self._encoded_mode:
+            first = source.read_frame(source.start_frame, increment=False)
+            if first is None:
+                self._encoded_mode = False
+            else:
+                H, W = first.shape[:2]
+                if not (0 <= self.y1 < self.y2 <= H and 0 <= self.x1 < self.x2 <= W):
+                    self._encoded_mode = False  # python-slice semantics needed
+                self._frame_hw = (H, W)
         self._ex = ThreadPoolExecutor(max_workers=1)
         self._depth = depth or cfg.prefetch_depth
         self._futures = []
@@ -60,6 +78,16 @@ class WindowPrefetcher:
         B = max(cfg.batch_windows, 1)
         wins = []
         while len(wins) < B and self._planned < self.source.total_frames:
+            if self._encoded_mode:
+                bufs, numbers, stamps = self.source.get_encoded_window(cfg.window_size)
+                H, W = self._frame_hw
+                gray, _ = self._native.decode_window_gray(
+                    [b if b is not None else b"" for b in bufs],
+                    H, W, ((self.x1, self.y1), (self.x2, self.y2)),
+                )
+                wins.append((None, numbers, stamps, gray))
+                self._planned += sum(1 for n in numbers if n >= 0)
+                continue
             frames, numbers, stamps = self.source.get_window(cfg.window_size)
             # Crop with numpy slicing FIRST (python slice semantics match the
             # reference even for out-of-bounds regions), then grayscale the

@@ -154,6 +154,36 @@ class HDF5Source(FrameSource):
             self.next_frame_number += 1
         return frame
 
+    def get_encoded_window(self, n: int):
+        """Window of ENCODED frame buffers with FrameReader bookkeeping.
+
+        Mirrors get_frame/get_window semantics one level earlier: the
+        inclusive-end duplicate read reuses the last good ENCODED buffer
+        (instead of the last decoded frame), nulls are None markers — so a
+        downstream native decoder reproduces the reference's error-fallback
+        behavior exactly.  Returns (buffers, numbers, timestamps) where a
+        buffer is bytes-like or None (null frame)."""
+        bufs, numbers, stamps = [], [], []
+        for _ in range(n):
+            fn = self.next_frame_number
+            if not self.start_frame <= fn <= self.end_frame:
+                bufs.append(None)
+                numbers.append(-1)
+                stamps.append(NULL_TIMESTAMP)
+                continue
+            try:
+                enc = bytes(np.asarray(self._dset[fn]))
+                self._last_encoded = enc
+                self.frames_read += 1
+            except (ValueError, IndexError):
+                enc = getattr(self, "_last_encoded", None)
+                self.read_errors += 1
+            self.next_frame_number += 1
+            bufs.append(enc)
+            numbers.append(fn)
+            stamps.append(frame_timestamp(fn, self.fps))
+        return bufs, numbers, stamps
+
 
 class VideoFileSource(FrameSource):
     """cv2.VideoCapture-backed source, strictly sequential

@@ -56,3 +56,35 @@ def test_decode_window_gray(rng):
         expected = cv2.cvtColor(dec, cv2.COLOR_BGR2GRAY)[5:75, 10:110]
         diff = np.abs(gray[i].astype(int) - expected.astype(int))
         assert diff.max() <= 3  # decoder IDCT differences propagate into gray
+
+
+def test_hdf5_native_decode_end_to_end(tmp_path):
+    """Opt-in native JPEG decode through the full pipeline: counts must
+    match the cv2-decode path on a strong synthetic scene."""
+    import dataclasses
+
+    import jax
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.io.readers import HDF5Source
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+    import h5py
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1, n_vanishing=1)
+    enc = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 95])[1] for f in video.frames]
+    maxlen = max(len(e) for e in enc)
+    data = np.zeros((len(enc), maxlen), np.uint8)
+    for i, e in enumerate(enc):
+        data[i, : len(e)] = e.ravel()
+    p = tmp_path / "clip.h5"
+    with h5py.File(p, "w") as fh:
+        fh.create_dataset("VideoFrames", data=data)
+        fh.attrs["CAP_PROP_FPS"] = video.fps
+        fh.attrs["CAP_PROP_FRAME_COUNT"] = len(enc)
+
+    base = run_video(HDF5Source(p), video.corners, DEFAULT_CONFIG)
+    cfg = dataclasses.replace(DEFAULT_CONFIG, native_decode=True)
+    nat = run_video(HDF5Source(p), video.corners, cfg)
+    assert nat.total_predicted == base.total_predicted == video.n_entering
+    assert nat.total_rejected == base.total_rejected
