@@ -35,3 +35,26 @@ def test_hard_scene_matches_oracle(scene):
     assert sorted(e.frame_number for e in ours.events) == sorted(
         fn for _, _, fn in events_o
     )
+
+
+@pytest.mark.parametrize("seed", [20, 21, 22, 23])
+def test_seed_soak_counts_match_oracle(seed):
+    """Broader randomized soak: every scene's PREDICTED/REJECTED totals and
+    event frames must match the reference oracle exactly."""
+    video = make_video(
+        seed=seed,
+        n_frames=63,
+        n_entering=1 + seed % 3,
+        n_crossing=seed % 2,
+        n_vanishing=(seed + 1) % 2,
+        noise=3 + seed % 4,
+    )
+    ours = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, DEFAULT_CONFIG
+    )
+    events_o, labels_o = reference_pipeline(video.frames, video.corners, video.fps)
+    assert ours.total_predicted == sum(labels_o)
+    assert ours.total_rejected == len(labels_o) - sum(labels_o)
+    assert sorted(e.frame_number for e in ours.events) == sorted(
+        fn for _, _, fn in events_o
+    )
