@@ -114,6 +114,8 @@ class PipelineConfig:
     # Use the fused Pallas motion-filter kernel on TPU (bit-identical to the
     # XLA chain; one HBM round trip instead of four).
     use_pallas_postfilter: bool = True
+    # Fuse the IALM E/M/Gram front into one Pallas pass on TPU.
+    use_pallas_rpca: bool = True
     # Decode HDF5 JPEG frames with the native C++ pump straight to cropped
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
     # IDCT may differ from cv2's bundled build by +-1 count per pixel.

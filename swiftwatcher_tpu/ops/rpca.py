@@ -231,7 +231,9 @@ def rpca_motion_window(
 
 @functools.partial(
     jax.jit,
-    static_argnames=("lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name"),
+    static_argnames=(
+        "lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name", "fused_front"
+    ),
 )
 def ialm_rpca_batched(
     X: jnp.ndarray,
@@ -241,6 +243,7 @@ def ialm_rpca_batched(
     rho: float = 1.5,
     mu_cap: float = 1e7,
     axis_name=None,
+    fused_front: bool = False,
 ):
     """Batched IALM over row-convention X (B, T, P) — frames are ROWS, so
     the window batch needs no transposes and the P axis stays in lanes.
@@ -281,28 +284,36 @@ def ialm_rpca_batched(
         A, E, Y, mu, itr, err = state
         active = jnp.logical_and(err >= tol, itr < max_iter)       # (B,)
         inv_mu = (1.0 / mu)[..., None, None]
-        Eraw = X - A + inv_mu * Y
-        Eupd = jnp.maximum(Eraw - lmbda * inv_mu, 0.0) + jnp.minimum(
-            Eraw + lmbda * inv_mu, 0.0
-        )
-        M = X - Eupd + inv_mu * Y
+        if fused_front:
+            # One fused Pallas pass computes E, M and the Gram from a single
+            # read of (X, A, Y) — see ops/pallas/ialm_front.py.
+            from .pallas.ialm_front import ialm_front
+
+            Eupd, M, G = ialm_front(X, A, Y, 1.0 / mu, lmbda)
+            G = allsum(G)
+        else:
+            Eraw = X - A + inv_mu * Y
+            Eupd = jnp.maximum(Eraw - lmbda * inv_mu, 0.0) + jnp.minimum(
+                Eraw + lmbda * inv_mu, 0.0
+            )
+            M = X - Eupd + inv_mu * Y
+            # G only seeds V0, and the one-sided polish round repairs V0's
+            # error quadratically — so the Gram can use the fast single-pass
+            # bf16 matmul (verified: <=1 uint8 count drift, zero iteration
+            # drift), while W1/C/A keep true-f32 passes.
+            G = allsum(
+                jnp.matmul(
+                    M,
+                    jnp.swapaxes(M, -1, -2),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=M.dtype,
+                )
+            )
         # Row-space SVD via Gram + one polish round (see _row_space_svd's
         # docstring for the accuracy argument), inlined so the polish
         # projection W1 is reused for the reconstruction: with V = V0 V1,
         #   A = V diag(r) V^T M = [(V diag r) V1^T] (V0^T M) = Q W1
         # — the small Q absorbs a full-size matmul.
-        # G only seeds V0, and the one-sided polish round repairs V0's error
-        # quadratically — so the Gram can use the fast single-pass bf16
-        # matmul (verified: <=1 uint8 count drift, zero iteration drift),
-        # while W1/C/A keep true-f32 passes.
-        G = allsum(
-            jnp.matmul(
-                M,
-                jnp.swapaxes(M, -1, -2),
-                precision=jax.lax.Precision.DEFAULT,
-                preferred_element_type=M.dtype,
-            )
-        )
         _, V0 = _refined_eigh(G)
         W1 = _mm(jnp.swapaxes(V0, -1, -2), M)                      # (B, T, P)
         C = allsum(_mm(W1, jnp.swapaxes(W1, -1, -2)))
@@ -349,10 +360,23 @@ def rpca_motion_window_batched(
     gray_windows: jnp.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
 ):
     """Batched rpca_motion_window: (B, T, H, W) uint8 -> ((B, T, H, W) uint8
-    motion, (B,) iters).  Row-convention: no transposes anywhere."""
+    motion, (B,) iters).  Row-convention: no transposes anywhere.
+
+    On TPU the fused ialm_front kernel is used, with the pixel axis
+    zero-padded to its tile width (zero columns are exactly IALM-neutral —
+    covered by tests)."""
     B, T, H, W = gray_windows.shape
     dtype = jnp.dtype(cfg.rpca_dtype)
-    X = gray_windows.reshape(B, T, H * W).astype(dtype)
+    P = H * W
+    X = gray_windows.reshape(B, T, P).astype(dtype)
+
+    fused = cfg.use_pallas_rpca and jax.default_backend() == "tpu"
+    if fused:
+        from .pallas.ialm_front import TILE
+
+        Pp = -(-P // TILE) * TILE
+        if Pp != P:
+            X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P)))
     _, E, iters = ialm_rpca_batched(
         X,
         lmbda=cfg.rpca_lambda,
@@ -360,6 +384,7 @@ def rpca_motion_window_batched(
         max_iter=cfg.rpca_max_iter,
         rho=cfg.rpca_rho,
         mu_cap=cfg.rpca_mu_cap,
+        fused_front=fused,
     )
-    motion = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8)
+    motion = jnp.clip(-E[..., :P], 0.0, 255.0).astype(jnp.uint8)
     return motion.reshape(B, T, H, W), iters
