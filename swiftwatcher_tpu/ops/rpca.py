@@ -286,7 +286,9 @@ def ialm_rpca_batched(
         inv_mu = (1.0 / mu)[..., None, None]
         if fused_front:
             # One fused Pallas pass computes E, M and the Gram from a single
-            # read of (X, A, Y) — see ops/pallas/ialm_front.py.
+            # read of (X, A, Y) — see ops/pallas/ialm_front.py.  (Fusing the
+            # projection/reconstruction halves too was tried and measured
+            # SLOWER than XLA's pipelined matmuls at these sizes.)
             from .pallas.ialm_front import ialm_front
 
             Eupd, M, G = ialm_front(X, A, Y, 1.0 / mu, lmbda)
@@ -309,6 +311,7 @@ def ialm_rpca_batched(
                     preferred_element_type=M.dtype,
                 )
             )
+
         # Row-space SVD via Gram + one polish round (see _row_space_svd's
         # docstring for the accuracy argument), inlined so the polish
         # projection W1 is reused for the reconstruction: with V = V0 V1,
