@@ -119,7 +119,7 @@ int swt_decode_jpeg_bgr(const uint8_t* data, size_t len, uint8_t* out,
 // ---------------------------------------------------------------------------
 int swt_decode_window_gray(const uint8_t* bufs, const int64_t* offsets, int n,
                            int H, int W, int y1, int y2, int x1, int x2,
-                           uint8_t* gray_out, int n_threads) {
+                           uint8_t* gray_out, uint8_t* ok_out, int n_threads) {
   const size_t ostride = static_cast<size_t>(y2 - y1) * (x2 - x1);
   std::vector<int> ok(n, 0);
   auto work = [&](int lo, int hi) {
@@ -150,7 +150,10 @@ int swt_decode_window_gray(const uint8_t* bufs, const int64_t* offsets, int n,
     for (auto& th : pool) th.join();
   }
   int total = 0;
-  for (int v : ok) total += v;
+  for (int i = 0; i < n; ++i) {
+    if (ok_out) ok_out[i] = static_cast<uint8_t>(ok[i]);
+    total += ok[i];
+  }
   return total;
 }
 

@@ -70,7 +70,7 @@ def _load() -> Optional[ctypes.CDLL]:
         lib.swt_decode_window_gray.argtypes = [
             u8p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
             ctypes.c_int, ctypes.c_int, ctypes.c_int, ctypes.c_int,
-            ctypes.c_int, ctypes.c_int, u8p, ctypes.c_int,
+            ctypes.c_int, ctypes.c_int, u8p, u8p, ctypes.c_int,
         ]
         lib.swt_decode_window_gray.restype = ctypes.c_int
         _lib = lib
@@ -128,7 +128,9 @@ def decode_window_gray(
     """Decode a window of JPEG buffers straight to cropped grayscale.
 
     encoded_frames: sequence of bytes-like JPEG payloads of (H, W) frames.
-    Returns ((N, ch, cw) uint8, n_decoded); failed frames are zeroed."""
+    Returns ((N, ch, cw) uint8, ok (N,) bool); failed frames are zeroed and
+    flagged so the caller can apply the reference's last-good-frame
+    substitution (io_video.py:51-53)."""
     lib = _load()
     assert lib is not None
     bufs = np.frombuffer(b"".join(bytes(e) for e in encoded_frames), np.uint8)
@@ -136,8 +138,10 @@ def decode_window_gray(
     np.cumsum([len(e) for e in encoded_frames], out=offsets[1:])
     (x1, y1), (x2, y2) = crop_region
     out = np.empty((len(encoded_frames), y2 - y1, x2 - x1), np.uint8)
-    n_ok = lib.swt_decode_window_gray(
+    ok = np.zeros((len(encoded_frames),), np.uint8)
+    lib.swt_decode_window_gray(
         _u8ptr(bufs), offsets.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
-        len(encoded_frames), H, W, y1, y2, x1, x2, _u8ptr(out), n_threads,
+        len(encoded_frames), H, W, y1, y2, x1, x2, _u8ptr(out), _u8ptr(ok),
+        n_threads,
     )
-    return out, int(n_ok)
+    return out, ok.astype(bool)

@@ -34,6 +34,7 @@ class WindowPrefetcher:
         keep_frames: bool = False,
         depth: Optional[int] = None,
         initial_planned: int = 0,
+        frame_hw=None,
     ):
         self.source = source
         self.cfg = cfg
@@ -52,16 +53,20 @@ class WindowPrefetcher:
             and self._native is not None
             and hasattr(source, "get_encoded_window")
         )
-        self._frame_hw = None
+        self._frame_hw = frame_hw
+        self._last_good_crop = None
         if self._encoded_mode:
-            first = source.read_frame(source.start_frame, increment=False)
-            if first is None:
-                self._encoded_mode = False
-            else:
-                H, W = first.shape[:2]
+            if self._frame_hw is None:
+                # caller didn't know the frame size; probe with one decode
+                first = source.read_frame(source.start_frame, increment=False)
+                if first is None:
+                    self._encoded_mode = False
+                else:
+                    self._frame_hw = first.shape[:2]
+            if self._frame_hw is not None:
+                H, W = self._frame_hw
                 if not (0 <= self.y1 < self.y2 <= H and 0 <= self.x1 < self.x2 <= W):
                     self._encoded_mode = False  # python-slice semantics needed
-                self._frame_hw = (H, W)
         self._ex = ThreadPoolExecutor(max_workers=1)
         self._depth = depth or cfg.prefetch_depth
         self._futures = []
@@ -81,10 +86,22 @@ class WindowPrefetcher:
             if self._encoded_mode:
                 bufs, numbers, stamps = self.source.get_encoded_window(cfg.window_size)
                 H, W = self._frame_hw
-                gray, _ = self._native.decode_window_gray(
+                gray, ok = self._native.decode_window_gray(
                     [b if b is not None else b"" for b in bufs],
                     H, W, ((self.x1, self.y1), (self.x2, self.y2)),
                 )
+                # reference error fallback (io_video.py:51-53): a frame that
+                # fails to DECODE substitutes the last good frame and bumps
+                # read_errors (null frames are legitimately zero)
+                for i, n in enumerate(numbers):
+                    if n < 0:
+                        continue
+                    if ok[i]:
+                        self._last_good_crop = gray[i]
+                    else:
+                        self.source.read_errors += 1
+                        if self._last_good_crop is not None:
+                            gray[i] = self._last_good_crop
                 wins.append((None, numbers, stamps, gray))
                 self._planned += sum(1 for n in numbers if n >= 0)
                 continue

@@ -16,8 +16,7 @@ one-sided polish round repairs (see ops/rpca.py).
 
 P must be a multiple of the tile width; the caller zero-pads (zero pixel
 columns are exactly neutral for IALM — proven in tests/test_rpca.py).
-Per-window scalars (inv_mu, the converged mask) ride in as scalar-prefetch
-arguments.
+The per-window inv_mu scalars ride in as a scalar-prefetch argument.
 """
 
 from __future__ import annotations
@@ -32,7 +31,7 @@ from jax.experimental.pallas import tpu as pltpu
 TILE = 1536  # lanes per tile (12 x 128); ~16 VMEM buffers of (21, TILE) f32
 
 
-def _make_kernel(T: int, lmbda: float):
+def _make_kernel(lmbda: float):
     def kernel(inv_mu_ref, x_ref, a_ref, y_ref, e_ref, m_ref, g_ref):
         b = pl.program_id(0)
         inv_mu = inv_mu_ref[b]
@@ -86,7 +85,7 @@ def ialm_front(
         ),
     )
     E, M, G = pl.pallas_call(
-        _make_kernel(T, lmbda),
+        _make_kernel(lmbda),
         grid_spec=grid_spec,
         out_shape=(
             jax.ShapeDtypeStruct((B, T, P), jnp.float32),

@@ -373,7 +373,11 @@ def rpca_motion_window_batched(
     P = H * W
     X = gray_windows.reshape(B, T, P).astype(dtype)
 
-    fused = cfg.use_pallas_rpca and jax.default_backend() == "tpu"
+    fused = (
+        cfg.use_pallas_rpca
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32  # the fused kernel is f32-only
+    )
     if fused:
         from .pallas.ialm_front import TILE
 

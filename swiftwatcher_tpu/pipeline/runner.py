@@ -127,6 +127,7 @@ def run_video(
     prefetcher = WindowPrefetcher(
         source, crop_region, cfg, keep_frames=needs_frames,
         initial_planned=frames_processed,
+        frame_hw=None if ff is None else ff.shape[:2],
     )
 
     use_device_tracker = tracker_impl == "device"

@@ -30,11 +30,15 @@ def test_entry_compiles_and_runs():
 
 @pytest.mark.parametrize("n", [8, 4, 2, 1])
 def test_dryrun_multichip(n):
+    if len(jax.devices()) < n:
+        pytest.skip("needs %d devices" % n)
     m = _load_entry()
     m.dryrun_multichip(n)
 
 
 def test_sharded_train_matches_unsharded(rng):
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU mesh)")
     import optax
 
     from swiftwatcher_tpu.models.squeezenet import random_params

@@ -26,6 +26,8 @@ from oracles import make_synthetic_window
 
 @pytest.fixture(scope="module")
 def mesh():
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU mesh); running on real hardware")
     return make_mesh(8, shape=(4, 2))
 
 

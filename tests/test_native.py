@@ -49,8 +49,8 @@ def test_decode_window_gray(rng):
     ]
     enc = [cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 95])[1].tobytes() for f in frames]
     crop = [(10, 5), (110, 75)]
-    gray, n_ok = native.decode_window_gray(enc, H, W, crop, n_threads=2)
-    assert n_ok == 6
+    gray, ok = native.decode_window_gray(enc, H, W, crop, n_threads=2)
+    assert ok.all() and len(ok) == 6
     for i, f in enumerate(frames):
         dec = cv2.imdecode(np.frombuffer(enc[i], np.uint8), cv2.IMREAD_COLOR)
         expected = cv2.cvtColor(dec, cv2.COLOR_BGR2GRAY)[5:75, 10:110]
