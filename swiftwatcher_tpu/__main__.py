@@ -21,20 +21,21 @@ jax.config.update(
 )
 
 from . import ui
-from .config import DEFAULT_CONFIG
+from .config import DEFAULT_CONFIG, config_with_overrides
 from .io.readers import open_source
 from .pipeline.runner import run_video
 
 
 def main(argv=None) -> int:
     args = ui.parse_args(argv)
+    cfg = config_with_overrides(args.set)
     filepaths = args.filepaths if args.filepaths else ui.select_filepaths()
 
     segment_filter = None
     if args.classify:
         from .models.classifier import SqueezeNetSegmentFilter
 
-        segment_filter = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
+        segment_filter = SqueezeNetSegmentFilter.from_default_weights(cfg)
 
     jobs, out_dirs = [], []
     for src_path in filepaths:
@@ -67,7 +68,7 @@ def main(argv=None) -> int:
 
         results = run_videos(
             jobs,
-            DEFAULT_CONFIG,
+            cfg,
             max_concurrent=args.parallel_videos,
             per_video_kwargs=kwargs_for,
         )
@@ -75,7 +76,7 @@ def main(argv=None) -> int:
         results = []
         for i, (source, corners) in enumerate(jobs):
             ui.start_status(filepaths[i].name)
-            results.append(run_video(source, corners, DEFAULT_CONFIG, **kwargs_for(i)))
+            results.append(run_video(source, corners, cfg, **kwargs_for(i)))
 
     for src_path, result in zip(filepaths, results):
         if result.df_labels is None:

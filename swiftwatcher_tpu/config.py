@@ -123,3 +123,30 @@ class PipelineConfig:
 
 
 DEFAULT_CONFIG = PipelineConfig()
+
+
+def config_with_overrides(overrides, base: PipelineConfig = DEFAULT_CONFIG) -> PipelineConfig:
+    """Apply "field=value" override strings (the CLI's --set flag).
+
+    Values are parsed with the field's current type (bool accepts
+    true/false/1/0; tuples accept comma-separated items)."""
+    cfg = base
+    for item in overrides:
+        field, _, raw = item.partition("=")
+        field = field.strip()
+        if not hasattr(cfg, field):
+            raise ValueError(f"unknown config field: {field!r}")
+        current = getattr(cfg, field)
+        if isinstance(current, bool):
+            value = raw.strip().lower() in ("1", "true", "yes", "on")
+        elif isinstance(current, int):
+            value = int(raw)
+        elif isinstance(current, float):
+            value = float(raw)
+        elif isinstance(current, tuple):
+            elem = type(current[0])
+            value = tuple(elem(v) for v in raw.split(","))
+        else:
+            value = raw
+        cfg = dataclasses.replace(cfg, **{field: value})
+    return cfg

@@ -36,6 +36,11 @@ def parse_args(argv=None):
         help="tracking implementation: host (scipy, strict parity) or "
         "device (full on-device lax.scan)",
     )
+    parser.add_argument(
+        "--set", action="append", default=[], metavar="FIELD=VALUE",
+        help="override a PipelineConfig field (repeatable), e.g. "
+        "--set rpca_tol=0.002 --set batch_windows=16",
+    )
     args = parser.parse_args(argv)
     args.filepaths = [Path(p).resolve() for p in args.filepaths]
     return args

@@ -87,3 +87,22 @@ def test_segment_export_pngs(tmp_path, video):
 
     img = cv2.imread(str(crops[0]))
     assert img.shape[0] >= 24 and img.shape[1] >= 24
+
+
+def test_config_overrides():
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG, config_with_overrides
+
+    cfg = config_with_overrides(
+        ["rpca_tol=0.002", "batch_windows=16", "use_pallas_rpca=false",
+         "opening_size=5,5"]
+    )
+    assert cfg.rpca_tol == 0.002
+    assert cfg.batch_windows == 16
+    assert cfg.use_pallas_rpca is False
+    assert cfg.opening_size == (5, 5)
+    assert DEFAULT_CONFIG.rpca_tol == 0.001  # base untouched
+
+    import pytest
+
+    with pytest.raises(ValueError):
+        config_with_overrides(["no_such_field=1"])
