@@ -99,3 +99,42 @@ def generate_test_dir(parent_dir: Path) -> Path:
         return date_dir / "1"
     run_ids = [int(Path(p).stem) for p in glob(str(date_dir / "*/"))]
     return date_dir / str(max(run_ids) + 1)
+
+
+# ---------------------------------------------------------------------------
+# Research experimentation utilities (io_data.py:143-190): DataFrame <-> CSV
+# round trips that restore list-of-float-tuple columns (e.g. per-event
+# centroid paths) from their string rendering.
+# ---------------------------------------------------------------------------
+
+
+def dataframe_to_csv(dataframe: pd.DataFrame, output_filepath: Path) -> None:
+    """Write a DataFrame as CSV, creating parent dirs (io_data.py:143-149)."""
+    output_filepath = Path(output_filepath)
+    output_filepath.parent.mkdir(parents=True, exist_ok=True)
+    dataframe.to_csv(str(output_filepath))
+
+
+def dataframe_from_csv(filepath) -> pd.DataFrame:
+    """Load a results/ground-truth CSV: microsecond-rounded timestamp +
+    framenumber MultiIndex, centroid strings back to float lists
+    (io_data.py:152-164)."""
+    df = pd.read_csv(filepath)
+    df["timestamp"] = pd.to_datetime(df["timestamp"]).dt.round(freq="us")
+    df.set_index(["timestamp", "framenumber"], inplace=True)
+    if "centroid" in df:
+        df = list_to_float(df, "centroid")
+    return df
+
+
+def list_to_float(dataframe: pd.DataFrame, column: str) -> pd.DataFrame:
+    """Parse a column of "[(y, x), (y, x), ...]" strings into lists of
+    [y, x] float pairs (io_data.py:167-190)."""
+
+    def parse(full_string: str):
+        condensed = full_string.replace(" ", "").replace("[", "").replace("]", "")
+        pairs = condensed.strip("()").split("),(")
+        return [[float(v) for v in p.split(",")] for p in pairs]
+
+    dataframe[column] = dataframe.apply(lambda row: parse(row[column]), axis=1)
+    return dataframe

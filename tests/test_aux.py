@@ -106,3 +106,30 @@ def test_config_overrides():
 
     with pytest.raises(ValueError):
         config_with_overrides(["no_such_field=1"])
+
+
+def test_research_csv_roundtrip(tmp_path):
+    import pandas as pd
+
+    from swiftwatcher_tpu.io.export import (
+        dataframe_from_csv,
+        dataframe_to_csv,
+        frame_timestamp,
+    )
+
+    df = pd.DataFrame(
+        {
+            "timestamp": [frame_timestamp(10, 30.0), frame_timestamp(40, 30.0)],
+            "framenumber": [10, 40],
+            "centroid": [
+                str([(12.5, 30.25), (13.0, 31.5)]),
+                str([(7.0, 9.0)]),
+            ],
+        }
+    ).set_index(["timestamp", "framenumber"])
+    p = tmp_path / "events" / "gt.csv"
+    dataframe_to_csv(df, p)
+    back = dataframe_from_csv(p)
+    assert back.index.names == ["timestamp", "framenumber"]
+    assert back["centroid"].iloc[0] == [[12.5, 30.25], [13.0, 31.5]]
+    assert back["centroid"].iloc[1] == [[7.0, 9.0]]
