@@ -115,15 +115,19 @@ def make_video(
                 continue
             if kind == "enter":
                 # steep, consistent dives into the mouth (real swifts enter
-                # near-vertically; the classifier's mode band is +/-30 deg)
+                # near-vertically; the classifier's mode band is +/-30 deg).
+                # Per-frame speed stays under the tracker's 25 px distance
+                # knee (segment_tracking.py:196) — faster birds are
+                # untrackable by design, in the reference too.
+                drop = min(int(H * 0.24), 18 * (length - 1))
                 sx = mouth_x - 8 - 5 * k
-                sy = mouth_y - int(H * 0.24)
                 xs = np.linspace(sx, mouth_x + 2 + 2 * k, length)
-                ys = np.linspace(sy, mouth_y - dot, length)
+                ys = np.linspace(mouth_y - drop, mouth_y - dot, length)
             elif kind == "vanish":
                 # nearly horizontal, ending inside the ROI band (slope avoids
-                # exact 15-degree angle multiples)
-                xs = np.linspace(mouth_x - int(W * 0.14), mouth_x + 2 * k, length)
+                # exact 15-degree angle multiples); speed under the 25 px knee
+                run = min(int(W * 0.14), 18 * (length - 1))
+                xs = np.linspace(mouth_x - run, mouth_x + 2 * k, length)
                 ys = np.linspace(mouth_y - 9.0, mouth_y - 6.0, length)
             else:
                 # crosses the whole crop and exits the far side (no event)
