@@ -66,7 +66,7 @@ def resident_fps(cfg, video, frames=13440):
 
 def main():
     ap = argparse.ArgumentParser()
-    ap.add_argument("--frames", type=int, default=840)
+    ap.add_argument("--frames", type=int, default=1680)
     ap.add_argument("--warmup-frames", type=int, default=168)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)
@@ -112,13 +112,15 @@ def main():
         )
         return 0
 
-    # Warmup: full pipeline once to pay compiles.
+    # Warmup: full pipeline once to pay compiles.  The on-device tracker is
+    # the shipped fast path (event-for-event equal to the host/scipy parity
+    # tracker across the test suite; ~1.9x end-to-end on long runs).
     warm = LoopingArraySource(video.frames, total=args.warmup_frames, fps=video.fps)
-    run_video(warm, video.corners, cfg)
+    run_video(warm, video.corners, cfg, tracker_impl="device")
 
     source = LoopingArraySource(video.frames, total=args.frames, fps=video.fps)
     start = time.perf_counter()
-    result = run_video(source, video.corners, cfg)
+    result = run_video(source, video.corners, cfg, tracker_impl="device")
     elapsed = time.perf_counter() - start
 
     fps = result.frames_processed / elapsed
