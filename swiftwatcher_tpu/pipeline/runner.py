@@ -167,6 +167,7 @@ def run_video(
 
     def consume(pending):
         nonlocal frames_processed
+        metrics.stage_start("consume")
         table, iters, wins, cursor, ev = pending
         if use_device_tracker:
             ev, overflow = ev
@@ -196,6 +197,7 @@ def run_video(
                 metrics.windows += 1
             metrics.batches += 1
             metrics.frames_processed = frames_processed
+            metrics.stage_stop("consume")
             if status_cb is not None:
                 status_cb(frames_processed, source.total_frames)
             return
@@ -223,6 +225,7 @@ def run_video(
         metrics.frames_processed = frames_processed
         if checkpoint_path is not None and metrics.batches % checkpoint_interval_batches == 0:
             save_checkpoint(checkpoint_path, cursor[0], frames_processed, tracker)
+        metrics.stage_stop("consume")
         if status_cb is not None:
             status_cb(frames_processed, source.total_frames)
 
@@ -232,7 +235,9 @@ def run_video(
     try:
         pending = None
         while True:
+            metrics.stage_start("prefetch_wait")
             batch = prefetcher.next()
+            metrics.stage_stop("prefetch_wait")
             nxt = dispatch(batch) if batch is not None else None
             if pending is not None:
                 consume(pending)
