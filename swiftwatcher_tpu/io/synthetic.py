@@ -55,6 +55,16 @@ class LoopingArraySource:
     def __getattr__(self, name):
         return getattr(self._inner, name)
 
+    def __setattr__(self, name, value):
+        # Reader state writes (e.g. run_video's checkpoint-resume sets
+        # source.next_frame_number) must reach the inner ArraySource — a
+        # read-only __getattr__ proxy would silently shadow them on the
+        # wrapper and the resume would not seek.
+        if name.startswith("_") or "_inner" not in self.__dict__:
+            object.__setattr__(self, name, value)
+        else:
+            setattr(self._inner, name, value)
+
 
 def make_video(
     seed: int = 0,

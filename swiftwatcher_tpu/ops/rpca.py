@@ -271,6 +271,14 @@ def ialm_rpca_batched(
         return jax.lax.pmax(v, axis_name) if axis_name else v
     dtype = X.dtype
     frob = jnp.sqrt(allsum(jnp.sum(X * X, axis=(-2, -1))))         # (B,)
+    # Floor the norms so an all-zero window (batch padding from
+    # WindowPrefetcher, or a black clip) yields Y0=0, finite mu, and an
+    # immediately-converged E=0 instead of a NaN iterate burning max_iter
+    # passes through every downstream stage.  Real uint8 windows have
+    # frob >= 1, so the floor never perturbs them.  (The reference divides
+    # by zero identically here — image_filtering.py:256-301 — but it never
+    # sees padding windows; this is a rebuild-only hardening.)
+    frob = jnp.maximum(frob, jnp.asarray(1e-12, dtype))
     norm_inf = allmax(jnp.max(jnp.abs(X), axis=(-2, -1))) / lmbda
     dual = jnp.maximum(frob, norm_inf)
     Y0 = X / dual[..., None, None]

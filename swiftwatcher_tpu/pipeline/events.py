@@ -73,7 +73,10 @@ def compute_mode(angles: np.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG) -> fl
     i_max = int(np.argmax(hist))
     xl = edges[i_max]
     lo, hi = cfg.mode_valid_range
-    if lo < xl < hi:
+    # The reference hardcodes (-135, -45), which keeps i_max interior; the
+    # config generalization could put i_max in the top bin, so guard the
+    # hist[i_max + 1] read (fall back to the default mode, like out-of-range).
+    if lo < xl < hi and i_max + 1 < len(hist):
         f0 = hist[i_max]
         f_1 = hist[i_max - 1]          # wraps to last bin when i_max == 0
         f1 = hist[i_max + 1]

@@ -100,6 +100,16 @@ def run_video(
         or export_segments_dir is not None
         or checkpoint_path is not None
     ):
+        import warnings
+
+        warnings.warn(
+            "tracker_impl='device' is incompatible with "
+            "segment_filter/export_segments_dir/checkpoint_path (they need "
+            "host frames or host tracker state); falling back to the host "
+            "tracker",
+            RuntimeWarning,
+            stacklevel=2,
+        )
         tracker_impl = "host"
     # --- init: regions + ROI mask from the first frame (once per video) ---
     ff = source.read_frame(0, increment=False)
@@ -172,13 +182,27 @@ def run_video(
         if use_device_tracker:
             ev, overflow = ev
             ev = jax.tree.map(np.asarray, ev)  # waits for the device
-            metrics.track_overflows += int(np.asarray(overflow).sum())
+            # Only count real windows: slots beyond len(wins) are zero-padded
+            # batch fillers whose RPCA/label content is meaningless.
+            metrics.track_overflows += int(
+                np.asarray(overflow)[: len(wins)].sum()
+            )
             n = int(ev.count)
             if bool(ev.overflow):
                 raise RuntimeError("device tracker event buffer overflow")
             from ..io.export import frame_timestamp
             from ..io.readers import NULL_TIMESTAMP
 
+            # The device tracker carries only frame NUMBERS through the scan;
+            # timestamps are recomputed as frame_number / fps.  This matches
+            # the host path exactly for every current source (ArraySource,
+            # HDF5Source, VideoFileSource all stamp frames that way — see
+            # io/readers.py frame_timestamp call sites), but a future source
+            # with non-uniform timestamps must use tracker_impl="host".
+            assert getattr(source, "uniform_timestamps", True), (
+                "device tracker recomputes timestamps as frame/fps; source "
+                "declares non-uniform timestamps — use tracker_impl='host'"
+            )
             for i in range(n):
                 fn = int(ev.last_fn[i])
                 tracker.events.append(

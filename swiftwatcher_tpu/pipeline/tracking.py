@@ -136,7 +136,11 @@ class SegmentTracker:
                     statuses_curr[j] = "A"
 
         # Link matched segments: history(curr) = history(prev) + [prev]
-        # (segment_tracking.py:133-152).
+        # (segment_tracking.py:133-152).  A segment can finish with status
+        # None (neither matched by a prev row nor self-assigned on its
+        # diagonal); the reference would crash indexing with None at
+        # segment_tracking.py:139-140, so treating it as unlinked (hist
+        # stays 0) is a deliberate, documented divergence — see PARITY.md.
         for j, st in enumerate(statuses_curr):
             if st != "A" and st is not None:
                 p = self.prev[st]

@@ -133,3 +133,29 @@ def test_research_csv_roundtrip(tmp_path):
     assert back.index.names == ["timestamp", "framenumber"]
     assert back["centroid"].iloc[0] == [[12.5, 30.25], [13.0, 31.5]]
     assert back["centroid"].iloc[1] == [[7.0, 9.0]]
+
+
+def test_looping_source_delegates_attribute_writes(video):
+    # Checkpoint resume does `source.next_frame_number = ...` (runner.py);
+    # the wrapper must forward reader-state WRITES to the inner ArraySource,
+    # not shadow them (ADVICE r1).
+    from swiftwatcher_tpu.io.synthetic import LoopingArraySource
+
+    src = LoopingArraySource(video.frames, total=126, fps=video.fps)
+    src.next_frame_number = 42
+    assert src._inner.next_frame_number == 42
+    assert src.next_frame_number == 42
+    # reads still delegate
+    assert src.total_frames == 126
+
+
+def test_device_tracker_fallback_warns(tmp_path, video):
+    # tracker_impl="device" with host-only features must fall back loudly.
+    with pytest.warns(RuntimeWarning, match="falling back to the host"):
+        run_video(
+            ArraySource(video.frames, fps=video.fps),
+            video.corners,
+            DEFAULT_CONFIG,
+            checkpoint_path=tmp_path / "ck.ckpt",
+            tracker_impl="device",
+        )

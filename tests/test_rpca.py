@@ -72,6 +72,38 @@ def test_motion_detects_dark_dots(rng):
     assert np.median(motion[t]) < 5
 
 
+def test_all_zero_window_yields_finite_zero_motion(rng):
+    # Batch-padding windows from WindowPrefetcher are all-zero; the batched
+    # solver floors its norms so they converge immediately to E=0 instead of
+    # burning max_iter NaN passes (ADVICE r1).  Real windows in the same
+    # batch must be unaffected.
+    from swiftwatcher_tpu.ops.rpca import ialm_rpca_batched, rpca_motion_window_batched
+
+    win = make_synthetic_window(rng, T=21, H=16, W=16)
+    X = win.reshape(1, 21, -1).astype(np.float32)
+    Xb = np.concatenate([X, np.zeros_like(X)], axis=0)
+
+    A, E, iters = ialm_rpca_batched(Xb)
+    assert np.isfinite(np.asarray(E)).all() and np.isfinite(np.asarray(A)).all()
+    assert int(iters[1]) == 1                     # zero window: one frozen pass
+    np.testing.assert_array_equal(np.asarray(E[1]), 0.0)
+
+    _, E1, it1 = ialm_rpca_batched(X)
+    assert int(iters[0]) == int(it1[0])           # real window unaffected
+    # batched eigh isn't bit-reproducible across batch compositions; require
+    # uint8-level agreement like the oracle tests (the pipeline consumes
+    # clip(-E, 0, 255) as uint8)
+    m_mix = np.clip(-np.asarray(E[0]), 0, 255).astype(int)
+    m_solo = np.clip(-np.asarray(E1[0]), 0, 255).astype(int)
+    diff = np.abs(m_mix - m_solo)
+    assert (diff <= 1).mean() > 0.999 and diff.max() <= 3
+
+    motion, _ = rpca_motion_window_batched(
+        np.concatenate([win[None], np.zeros_like(win)[None]]), PipelineConfig()
+    )
+    np.testing.assert_array_equal(np.asarray(motion[1]), 0)
+
+
 def test_zero_padded_rows_are_neutral(rng):
     # Zero pixel rows (alignment padding) must not change the solution for
     # real pixels — the basis for lane-aligned layouts in the fused kernels.
