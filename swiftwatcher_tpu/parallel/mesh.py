@@ -68,6 +68,15 @@ def sharded_localize_windows(
     Returns (RegionTable (B, T, 256), iters (B,)).
     """
     B, T, H, W, _ = crops.shape
+    dtype = jnp.dtype(cfg.rpca_dtype)
+    # Same gate as rpca_motion_window_batched (ops/rpca.py): the fused Pallas
+    # IALM front runs per-device on its pixel block (the Gram psum is the
+    # only cross-device step), so it composes with sequence parallelism.
+    fused = (
+        cfg.use_pallas_rpca
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+    )
 
     @functools.partial(
         shard_map,
@@ -83,8 +92,17 @@ def sharded_localize_windows(
     )
     def body(local):
         b, t, h, w_local, _ = local.shape
+        m = mesh.shape["model"]
         gray = bgr_to_gray(local)                       # (b, T, H, W/m)
-        X = gray.reshape(b, t, h * w_local).astype(jnp.dtype(cfg.rpca_dtype))
+        X = gray.reshape(b, t, h * w_local).astype(dtype)
+        P_loc = h * w_local
+        if fused:
+            from ..ops.pallas.ialm_front import TILE
+
+            Pp = -(-P_loc // TILE) * TILE
+            if Pp != P_loc:
+                # zero pixel columns are exactly IALM-neutral (tested)
+                X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P_loc)))
         _, E, iters = ialm_rpca_batched(
             X,
             lmbda=cfg.rpca_lambda,
@@ -93,16 +111,36 @@ def sharded_localize_windows(
             rho=cfg.rpca_rho,
             mu_cap=cfg.rpca_mu_cap,
             axis_name="model",
+            fused_front=fused,
         )
-        motion_local = jnp.clip(-E, 0.0, 255.0).astype(jnp.uint8).reshape(b, t, h, w_local)
-        # Reassemble full-width frames; the stencil/CCL stages then run
-        # replicated within the 'model' axis (their cost is small).
+        motion_local = (
+            jnp.clip(-E[..., :P_loc], 0.0, 255.0)
+            .astype(jnp.uint8)
+            .reshape(b, t, h, w_local)
+        )
+        # Reassemble full-width frames, then DIVIDE the stencil/CCL/table
+        # work across the 'model' axis by frame slices (each device filters
+        # and labels bt/m frames) instead of running it replicated — the
+        # final all_gather of the (tiny) per-frame tables re-replicates.
         motion = jax.lax.all_gather(motion_local, "model", axis=3, tiled=True)
-        flat = motion.reshape(b * t, h, w_local * mesh.shape["model"])
-        filtered = motion_postfilter(flat, cfg)
+        bt = b * t
+        flat = motion.reshape(bt, h, w_local * m)
+        btp = -(-bt // m) * m
+        if btp != bt:
+            flat = jnp.pad(flat, ((0, btp - bt), (0, 0), (0, 0)))
+        k = btp // m
+        mine = jax.lax.dynamic_slice_in_dim(
+            flat, jax.lax.axis_index("model") * k, k, axis=0
+        )
+        filtered = motion_postfilter(mine, cfg)
         labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
         table = region_tables(wrap_labels_uint8(labels, cfg.label_modulus), with_bbox=False)
-        table = jax.tree.map(lambda a: a.reshape(b, t, *a.shape[1:]), table)
+        table = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, "model", axis=0, tiled=True)[
+                :bt
+            ].reshape(b, t, *a.shape[1:]),
+            table,
+        )
         return table, iters
 
     return body(crops)
