@@ -100,6 +100,11 @@ class PipelineConfig:
     cnn_std: Tuple[float, float, float] = (0.229, 0.224, 0.225)
     # Per-window cap on segments routed through the CNN (padded batch).
     cnn_batch_cap: int = 64
+    # Device-side preprocessing (models/preprocess.py): bit-exact PIL resize
+    # as int32 matmuls on device.  Segments larger than cnn_max_seg_hw on a
+    # side (rare — birds are small) fall back to the host PIL path.
+    cnn_device_preprocess: bool = True
+    cnn_max_seg_hw: int = 64
 
     # ----- execution ---------------------------------------------------------
     # Compute dtype for the IALM loop.  float32 is the TPU-native choice; the

@@ -94,27 +94,58 @@ class SqueezeNetSegmentFilter:
             )
         return cls.from_weights(DEFAULT_WEIGHTS, cfg)
 
-    def classify_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
-        """Batched keep-mask for raw segment crops.
-
-        Batches are padded to the next power of two (capped at
-        cfg.cnn_batch_cap) so XLA compiles a handful of batch shapes once
-        instead of one program per distinct segment count."""
-        if not images:
-            return np.zeros((0,), bool)
-        n = len(images)
+    def _padded_n(self, n: int) -> int:
         cap = self.cfg.cnn_batch_cap
         if n <= cap:
             padded_n = 1
             while padded_n < n:
                 padded_n *= 2
+            return padded_n
+        return -(-n // cap) * cap
+
+    def classify_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
+        """Batched keep-mask for raw segment crops.
+
+        Batches are padded to the next power of two (capped at
+        cfg.cnn_batch_cap) so XLA compiles a handful of batch shapes once
+        instead of one program per distinct segment count.
+
+        Default path: device-side preprocessing (models/preprocess.py) —
+        the host only packs crops into zero-padded canvases; the bit-exact
+        PIL-parity resize, pad-to-224, normalize, and CNN forward run as one
+        device program.  Oversized segments (> cnn_max_seg_hw) route the
+        batch through the host PIL twin instead."""
+        if not images:
+            return np.zeros((0,), bool)
+        n = len(images)
+        padded_n = self._padded_n(n)
+        mx = self.cfg.cnn_max_seg_hw
+        if self.cfg.cnn_device_preprocess and all(
+            im.shape[0] <= mx and im.shape[1] <= mx for im in images
+        ):
+            from .preprocess import pack_canvases, preprocess_batch, resize_coeffs
+
+            canv, hs, ws = pack_canvases(images, mx)
+            if padded_n != n:
+                pad = np.zeros((padded_n - n, mx, mx, 3), np.uint8)
+                canv = np.concatenate([canv, pad])
+                # size-1 padding rows keep the coeff normalizer away from 0/0
+                hs = np.concatenate([hs, np.ones(padded_n - n, np.int32)])
+                ws = np.concatenate([ws, np.ones(padded_n - n, np.int32)])
+            out = self.cfg.cnn_resize_to
+            batch = preprocess_batch(
+                jnp.asarray(canv),
+                jnp.asarray(resize_coeffs(ws, mx, out)),
+                jnp.asarray(resize_coeffs(hs, mx, out)),
+                self.cfg,
+            )
         else:
-            padded_n = -(-n // cap) * cap
-        batch = np.zeros((padded_n, self.cfg.cnn_input_size,
-                          self.cfg.cnn_input_size, 3), np.float32)
-        for i, im in enumerate(images):
-            batch[i] = preprocess_segment(im, self.cfg)
-        pred = np.asarray(predict(self.params, jnp.asarray(batch)))
+            host = np.zeros((padded_n, self.cfg.cnn_input_size,
+                             self.cfg.cnn_input_size, 3), np.float32)
+            for i, im in enumerate(images):
+                host[i] = preprocess_segment(im, self.cfg)
+            batch = jnp.asarray(host)
+        pred = np.asarray(predict(self.params, batch))
         return pred[:n] == 1
 
     def __call__(self, table, index, frame_bgr: np.ndarray, crop_region) -> List[bool]:
