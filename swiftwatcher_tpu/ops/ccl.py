@@ -6,9 +6,11 @@ bottleneck" (__main__.py:78) — with a batched, jittable label-propagation
 kernel over the whole (T, H, W) window:
 
   * init: every foreground pixel's label = its linear raster index
-  * iterate: 8-neighborhood min-pool + two pointer-jumping (path-halving)
-    gathers, until fixpoint — O(log diameter) iterations for blob-like
-    components instead of O(diameter) plain flooding
+  * converge: on TPU, the whole frame floods to its exact fixpoint inside
+    one VMEM-resident Pallas kernel (ops/pallas/ccl_local.py — min-pool +
+    segmented row/column scans, O(direction changes) super-sweeps); the
+    XLA fallback iterates 8-neighborhood min-pools plus pointer-jumping
+    (path-halving) gathers
   * compact: a component's root is its minimum linear index == its first
     raster-scan pixel, so ranking roots by a per-frame cumulative sum yields
     labels 1..N in raster-first-occurrence order.
@@ -86,6 +88,11 @@ def label_components(
     phase1_iters = min(24, max_iters)
     if use_pallas is None:
         use_pallas = jax.default_backend() == "tpu"
+    # Whole-frame in-VMEM convergence (ops/pallas/ccl_local.py): the frame is
+    # the 'block' of block-local CCL, flooded to its exact fixpoint with
+    # segmented scans — no HBM traffic between sweeps, no gathers.  Budget:
+    # label + fg + scan temps, ~8 live f32 copies, against ~16 MB VMEM.
+    local_kernel = use_pallas and H * W * 4 * 8 <= 12 * (1 << 20)
 
     def pool_chunk(lbl):
         if use_pallas:
@@ -123,11 +130,41 @@ def label_components(
             return jnp.logical_and(changed, it < limit)
         return _c
 
+    def verify_fixpoint(lbl):
+        # one cheap XLA pool pass: True if another sweep would still change
+        new = jnp.where(fg, jnp.minimum(lbl, _min_pool_8(lbl, sentinel)), sentinel)
+        return jnp.any(new != lbl)
+
+    def settle(lbl, changed):
+        """Finish a partially-flooded label image exactly.
+
+        Phase 1 (batched pool chunks) handles blob-like components — the
+        only shapes real scenes produce — at full batch throughput; this
+        runs ONLY when phase 1 hit its sweep budget.  On TPU the finisher
+        is the whole-frame in-VMEM kernel (exact fixpoint, O(direction
+        changes) super-sweeps, no gathers); elsewhere it is the
+        pool+pointer-jump loop.  A zero-iteration phase-2 while_loop after
+        the kernel insures against a kernel max_iters cap."""
+        if local_kernel:
+            from .pallas.ccl_local import converge_frames
+
+            lbl = jax.lax.cond(
+                changed,
+                lambda l: converge_frames(l, fg, max_iters, sentinel),
+                lambda l: l,
+                lbl,
+            )
+            changed = jax.lax.cond(
+                changed, verify_fixpoint, lambda l: jnp.asarray(False), lbl
+            )
+        lbl, _, _ = jax.lax.while_loop(
+            cond(max_iters), phase2_body, (lbl, changed, jnp.asarray(0, jnp.int32))
+        )
+        return lbl
+
     init = (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
     lbl, changed, _ = jax.lax.while_loop(cond(phase1_iters), phase1_body, init)
-    lbl, _, _ = jax.lax.while_loop(
-        cond(max_iters), phase2_body, (lbl, changed, jnp.asarray(0, jnp.int32))
-    )
+    lbl = settle(lbl, changed)
 
     # Compact: rank roots in raster order, then FLOOD each root's rank back
     # through its component with the same cheap min-pools.  A per-pixel
@@ -149,6 +186,18 @@ def label_components(
 
     rinit = (rank0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
     rank_map, rchanged, _ = jax.lax.while_loop(cond(phase1_iters), rank_body, rinit)
+    if local_kernel:
+        from .pallas.ccl_local import converge_frames
+
+        rank_map = jax.lax.cond(
+            rchanged,
+            lambda r: converge_frames(r, fg, max_iters, sentinel),
+            lambda r: r,
+            rank_map,
+        )
+        rchanged = jax.lax.cond(
+            rchanged, verify_fixpoint, lambda r: jnp.asarray(False), rank_map
+        )
 
     def gather_fallback(r):
         # pathological (snake-like) components: one gather resolves exactly
