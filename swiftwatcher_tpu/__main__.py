@@ -61,6 +61,7 @@ def main(argv=None) -> int:
             # use the sibling output directory instead.
             export_segments_dir=(out_dirs[i] / "segments") if args.export else None,
             tracker_impl=args.tracker,
+            profile_dir=(out_dirs[i] / "profile") if args.profile else None,
         )
 
     if args.parallel_videos > 1:

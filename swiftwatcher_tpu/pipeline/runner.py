@@ -76,6 +76,7 @@ def run_video(
     checkpoint_path: Optional[Path] = None,
     checkpoint_interval_batches: int = 16,
     tracker_impl: str = "host",
+    profile_dir: Optional[Path] = None,
 ) -> VideoResult:
     """Count swifts in one video.
 
@@ -94,6 +95,11 @@ def run_video(
     only segment tables' scalars ever leave the device).  Device mode does
     not support segment_filter/export_segments_dir (they need host frames)
     or checkpointing, and falls back to host when those are requested.
+    profile_dir: when set, a jax.profiler trace of the run is captured
+    there (viewable in TensorBoard/Perfetto), host stages are wrapped in
+    TraceAnnotations, and per-stage DEVICE times are recorded in the
+    manifest via forced-completion timing (SURVEY.md §5).  Profiling
+    serializes dispatch and consume, so throughput drops while it is on.
     """
     if tracker_impl == "device" and (
         segment_filter is not None
@@ -147,9 +153,44 @@ def run_video(
         roi_dev = jax.device_put(roi_mask)
         dev_state = empty_state(cfg.max_tracks)
 
+    profiling = profile_dir is not None
+    if profiling:
+        import contextlib
+        import time as _time
+
+        Path(profile_dir).mkdir(parents=True, exist_ok=True)
+        try:
+            jax.profiler.start_trace(str(profile_dir))
+            trace_active = True
+        except Exception as e:  # backend without profiler support
+            import warnings
+
+            warnings.warn(f"jax.profiler trace unavailable: {e}", RuntimeWarning)
+            trace_active = False
+        annotate = jax.profiler.TraceAnnotation
+    else:
+        trace_active = False
+
+        import contextlib
+
+        def annotate(_name):
+            return contextlib.nullcontext()
+
     def dispatch(batch):
         gray_dev, wins, cursor = batch
-        table, iters = localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames)
+        with annotate("localize_dispatch"):
+            table, iters = localize_windows_gray(
+                gray_dev, cfg, with_bbox=needs_frames
+            )
+        if profiling:
+            # forced-completion timing: the scalar readback bounds the true
+            # device time of the localization program (block_until_ready is
+            # a no-op on some plugin backends, so read a value instead)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            int(jnp.sum(iters))
+            metrics.device_stage_add("localize", _time.perf_counter() - t0)
         if use_device_tracker:
             nonlocal dev_state
             B = table.valid.shape[0]
@@ -162,16 +203,23 @@ def run_video(
             active = jnp.asarray(
                 np.arange(B * T) < len(wins) * T
             )  # batch-padding frames are no-ops (the reference never runs them)
-            dev_state, ev = track_window(
-                dev_state,
-                roi_dev,
-                cy.reshape(B * T, -1),
-                cx.reshape(B * T, -1),
-                kvalid.reshape(B * T, -1),
-                fns,
-                cfg,
-                active=active,
-            )
+            with annotate("track_dispatch"):
+                dev_state, ev = track_window(
+                    dev_state,
+                    roi_dev,
+                    cy.reshape(B * T, -1),
+                    cx.reshape(B * T, -1),
+                    kvalid.reshape(B * T, -1),
+                    fns,
+                    cfg,
+                    active=active,
+                )
+            if profiling:
+                import time as _time
+
+                t0 = _time.perf_counter()
+                int(ev.count)
+                metrics.device_stage_add("track_scan", _time.perf_counter() - t0)
             return table, iters, wins, cursor, (ev, overflow)
         return table, iters, wins, cursor, None
 
@@ -264,12 +312,18 @@ def run_video(
             metrics.stage_stop("prefetch_wait")
             nxt = dispatch(batch) if batch is not None else None
             if pending is not None:
-                consume(pending)
+                with annotate("consume"):
+                    consume(pending)
             pending = nxt
             if nxt is None:
                 break
     finally:
         prefetcher.close()
+        if trace_active:
+            try:
+                jax.profiler.stop_trace()
+            except Exception:
+                pass
 
     events = tracker.events
     metrics.events = len(events)
@@ -292,6 +346,8 @@ def run_video(
 
     if out_dir is not None:
         metrics.write_manifest(Path(out_dir) / "run_manifest.json")
+    elif profile_dir is not None:
+        metrics.write_manifest(Path(profile_dir) / "run_manifest.json")
     return VideoResult(
         events=events,
         df_labels=df_labels,

@@ -37,6 +37,11 @@ def parse_args(argv=None):
         "device (full on-device lax.scan)",
     )
     parser.add_argument(
+        "--profile", action="store_true",
+        help="capture a jax.profiler trace + per-stage device times into "
+        "<video dir>/<stem>/profile (serializes the pipeline while on)",
+    )
+    parser.add_argument(
         "--set", action="append", default=[], metavar="FIELD=VALUE",
         help="override a PipelineConfig field (repeatable), e.g. "
         "--set rpca_tol=0.002 --set batch_windows=16",

@@ -29,6 +29,10 @@ class RunMetrics:
                               # (device tracker drops the excess; the host
                               # tracker is capacity-free)
     stage_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
+    # DEVICE time per stage (forced-completion timing, populated only when
+    # profiling is on — run_video(profile_dir=...) — since forcing results
+    # defeats the dispatch-ahead overlap the production path relies on)
+    device_stage_seconds: Dict[str, float] = dataclasses.field(default_factory=dict)
     _stage_t0: Dict[str, float] = dataclasses.field(default_factory=dict, repr=False)
 
     def stage_start(self, name: str) -> None:
@@ -40,6 +44,11 @@ class RunMetrics:
             self.stage_seconds[name] = self.stage_seconds.get(name, 0.0) + (
                 time.perf_counter() - t0
             )
+
+    def device_stage_add(self, name: str, seconds: float) -> None:
+        self.device_stage_seconds[name] = (
+            self.device_stage_seconds.get(name, 0.0) + seconds
+        )
 
     @property
     def elapsed(self) -> float:
@@ -67,6 +76,9 @@ class RunMetrics:
             "read_errors": self.read_errors,
             "track_overflows": self.track_overflows,
             "stage_seconds": {k: round(v, 3) for k, v in self.stage_seconds.items()},
+            "device_stage_seconds": {
+                k: round(v, 3) for k, v in self.device_stage_seconds.items()
+            },
             "elapsed_s": round(self.elapsed, 3),
         }
 

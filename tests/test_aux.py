@@ -159,3 +159,22 @@ def test_device_tracker_fallback_warns(tmp_path, video):
             checkpoint_path=tmp_path / "ck.ckpt",
             tracker_impl="device",
         )
+
+
+def test_profile_trace_and_device_times(tmp_path, video):
+    # --profile: a jax.profiler trace lands in profile_dir and the manifest
+    # gains the per-stage device-time breakdown (SURVEY.md §5)
+    prof = tmp_path / "profile"
+    result = run_video(
+        ArraySource(video.frames, fps=video.fps),
+        video.corners,
+        DEFAULT_CONFIG,
+        profile_dir=prof,
+    )
+    manifest = json.loads((prof / "run_manifest.json").read_text())
+    assert "localize" in manifest["device_stage_seconds"]
+    assert manifest["device_stage_seconds"]["localize"] > 0
+    # the profiler wrote a trace (plugins/profile/<ts>/ layout)
+    traced = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json*"))
+    assert traced, f"no trace artifacts under {prof}"
+    assert result.frames_processed == 63
