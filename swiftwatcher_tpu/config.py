@@ -119,8 +119,17 @@ class PipelineConfig:
     # Use the fused Pallas motion-filter kernel on TPU (bit-identical to the
     # XLA chain; one HBM round trip instead of four).
     use_pallas_postfilter: bool = True
-    # Fuse the IALM E/M/Gram front into one Pallas pass on TPU.
+    # Fuse the IALM E/M/Gram front into one Pallas pass on TPU.  Only
+    # relevant when rpca_warm_basis is off: the warm-basis solver never
+    # forms the per-iteration Gram, so the fused front's main output would
+    # be discarded (measured slower in that combination).
     use_pallas_rpca: bool = True
+    # Carry the row-space eigenbasis across IALM iterations (skips the
+    # per-iteration Gram + eigh; the polish round re-converges the basis).
+    # Measured on v5e: ~8% faster than the fused-front cold-start solver at
+    # identical iteration counts and within the established +-2 uint8 motion
+    # envelope (see ops/rpca.py and git history for the numbers).
+    rpca_warm_basis: bool = True
     # Decode HDF5 JPEG frames with the native C++ pump straight to cropped
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
     # IDCT may differ from cv2's bundled build by +-1 count per pixel.

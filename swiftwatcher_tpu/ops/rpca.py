@@ -232,7 +232,8 @@ def rpca_motion_window(
 @functools.partial(
     jax.jit,
     static_argnames=(
-        "lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name", "fused_front"
+        "lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name",
+        "fused_front", "warm_basis",
     ),
 )
 def ialm_rpca_batched(
@@ -244,6 +245,7 @@ def ialm_rpca_batched(
     mu_cap: float = 1e7,
     axis_name=None,
     fused_front: bool = False,
+    warm_basis: bool = False,
 ):
     """Batched IALM over row-convention X (B, T, P) — frames are ROWS, so
     the window batch needs no transposes and the P axis stays in lanes.
@@ -262,6 +264,13 @@ def ialm_rpca_batched(
     pixel block of X; the T x T Grams and the residual/init norms are the
     only cross-device quantities, reduced with psum/pmax over that axis —
     tiny (21 x 21) collectives riding ICI.
+
+    warm_basis: carry the row-space eigenbasis V across IALM iterations and
+    skip the per-iteration base Gram + eigh — the one-sided polish round
+    (whose error repair is quadratic) re-converges V against the new
+    iterate.  Saves one (B,T,P)x(B,P,T) Gram and one batched eigh per
+    iteration at the cost of one extra Gram+eigh before the loop.
+    (CLAUDE.md backlog #5; measured on hardware — see git history.)
     """
 
     def allsum(v):
@@ -285,11 +294,11 @@ def ialm_rpca_batched(
     mu0 = 1.25 / frob
 
     def cond(state):
-        _, _, _, _, itr, err = state
+        _, _, _, _, _, itr, err = state
         return jnp.any(jnp.logical_and(err >= tol, itr < max_iter))
 
     def body(state):
-        A, E, Y, mu, itr, err = state
+        A, E, Y, mu, V, itr, err = state
         active = jnp.logical_and(err >= tol, itr < max_iter)       # (B,)
         inv_mu = (1.0 / mu)[..., None, None]
         if fused_front:
@@ -307,25 +316,29 @@ def ialm_rpca_batched(
                 Eraw + lmbda * inv_mu, 0.0
             )
             M = X - Eupd + inv_mu * Y
-            # G only seeds V0, and the one-sided polish round repairs V0's
-            # error quadratically — so the Gram can use the fast single-pass
-            # bf16 matmul (verified: <=1 uint8 count drift, zero iteration
-            # drift), while W1/C/A keep true-f32 passes.
-            G = allsum(
-                jnp.matmul(
-                    M,
-                    jnp.swapaxes(M, -1, -2),
-                    precision=jax.lax.Precision.DEFAULT,
-                    preferred_element_type=M.dtype,
+            if not warm_basis:
+                # G only seeds V0, and the one-sided polish round repairs
+                # V0's error quadratically — so the Gram can use the fast
+                # single-pass bf16 matmul (verified: <=1 uint8 count drift,
+                # zero iteration drift), while W1/C/A keep true-f32 passes.
+                G = allsum(
+                    jnp.matmul(
+                        M,
+                        jnp.swapaxes(M, -1, -2),
+                        precision=jax.lax.Precision.DEFAULT,
+                        preferred_element_type=M.dtype,
+                    )
                 )
-            )
 
         # Row-space SVD via Gram + one polish round (see _row_space_svd's
         # docstring for the accuracy argument), inlined so the polish
         # projection W1 is reused for the reconstruction: with V = V0 V1,
         #   A = V diag(r) V^T M = [(V diag r) V1^T] (V0^T M) = Q W1
         # — the small Q absorbs a full-size matmul.
-        _, V0 = _refined_eigh(G)
+        if warm_basis:
+            V0 = V      # last iteration's basis; the polish re-converges it
+        else:
+            _, V0 = _refined_eigh(G)
         W1 = _mm(jnp.swapaxes(V0, -1, -2), M)                      # (B, T, P)
         C = allsum(_mm(W1, jnp.swapaxes(W1, -1, -2)))
         d, V1 = _refined_eigh(C)
@@ -344,26 +357,46 @@ def ialm_rpca_batched(
         err_new = jnp.sqrt(allsum(jnp.sum(Z * Z, axis=(-2, -1)))) / frob
 
         keep = active[..., None, None]
+        Vnext = _mm(V0, V1) if warm_basis else V
         return (
             jnp.where(keep, Aupd, A),
             jnp.where(keep, Eupd, E),
             jnp.where(keep, Ynew, Y),
             jnp.where(active, mu_new, mu),
+            jnp.where(keep, Vnext, V),
             itr + active.astype(jnp.int32),
             jnp.where(active, err_new, err),
         )
 
     zeros = jnp.zeros_like(X)
-    B = X.shape[0]
+    B, T = X.shape[0], X.shape[1]
+    if warm_basis:
+        # seed the carried basis from M0 = X + Y0 / mu0 (A0 = E0 = 0): one
+        # extra Gram + eigh before the loop buys their removal from every
+        # iteration after
+        M0 = X + (1.0 / mu0)[..., None, None] * Y0
+        _, V_init = _refined_eigh(
+            allsum(
+                jnp.matmul(
+                    M0,
+                    jnp.swapaxes(M0, -1, -2),
+                    precision=jax.lax.Precision.DEFAULT,
+                    preferred_element_type=M0.dtype,
+                )
+            )
+        )
+    else:
+        V_init = jnp.broadcast_to(jnp.eye(T, dtype=dtype), (B, T, T))
     init = (
         zeros,
         zeros,
         Y0,
         mu0,
+        V_init,
         jnp.zeros((B,), jnp.int32),
         jnp.full((B,), jnp.inf, dtype),
     )
-    A, E, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
+    A, E, _, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
     return A, E, itr
 
 
@@ -381,8 +414,13 @@ def rpca_motion_window_batched(
     P = H * W
     X = gray_windows.reshape(B, T, P).astype(dtype)
 
+    warm = cfg.rpca_warm_basis
+    # The fused front's headline output is the per-iteration Gram, which the
+    # warm-basis solver never needs — measured slower together, so warm
+    # disables the fusion (see config.py rpca_warm_basis).
     fused = (
         cfg.use_pallas_rpca
+        and not warm
         and jax.default_backend() == "tpu"
         and dtype == jnp.float32  # the fused kernel is f32-only
     )
@@ -400,6 +438,7 @@ def rpca_motion_window_batched(
         rho=cfg.rpca_rho,
         mu_cap=cfg.rpca_mu_cap,
         fused_front=fused,
+        warm_basis=warm,
     )
     motion = jnp.clip(-E[..., :P], 0.0, 255.0).astype(jnp.uint8)
     return motion.reshape(B, T, H, W), iters

@@ -69,11 +69,15 @@ def sharded_localize_windows(
     """
     B, T, H, W, _ = crops.shape
     dtype = jnp.dtype(cfg.rpca_dtype)
-    # Same gate as rpca_motion_window_batched (ops/rpca.py): the fused Pallas
-    # IALM front runs per-device on its pixel block (the Gram psum is the
-    # only cross-device step), so it composes with sequence parallelism.
+    # Same gates as rpca_motion_window_batched (ops/rpca.py): the fused
+    # Pallas IALM front runs per-device on its pixel block (the Gram psum is
+    # the only cross-device step), so it composes with sequence parallelism;
+    # the warm-carried basis replaces the per-iteration Gram entirely and
+    # therefore disables the fusion (measured faster).
+    warm = cfg.rpca_warm_basis
     fused = (
         cfg.use_pallas_rpca
+        and not warm
         and jax.default_backend() == "tpu"
         and dtype == jnp.float32
     )
@@ -112,6 +116,7 @@ def sharded_localize_windows(
             mu_cap=cfg.rpca_mu_cap,
             axis_name="model",
             fused_front=fused,
+            warm_basis=warm,
         )
         motion_local = (
             jnp.clip(-E[..., :P_loc], 0.0, 255.0)
