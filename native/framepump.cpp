@@ -16,6 +16,7 @@
 #include <cstring>
 #include <csetjmp>
 #include <cstdio>
+#include <algorithm>
 #include <thread>
 #include <vector>
 
@@ -155,6 +156,209 @@ int swt_decode_window_gray(const uint8_t* bufs, const int64_t* offsets, int n,
     total += ok[i];
   }
   return total;
+}
+
+
+// ---------------------------------------------------------------------------
+// AVI / MJPEG container parser: first-party replacement for
+// cv2.VideoCapture on the reference's own capture format (MJPG-in-AVI is
+// what OpenCV's VideoWriter produces and what surveillance rigs emit).
+// Strictly sequential, mirroring io_video.py:142-163 semantics: open scans
+// the movi list once to build the frame table; each read decodes the next
+// chunk or reports a decode error / end of stream.  Non-MJPG AVIs fail
+// open() and the Python caller falls back to cv2.
+// ---------------------------------------------------------------------------
+struct SwtAvi {
+  FILE* f = nullptr;
+  std::vector<int64_t> offs;    // data offset of each video chunk
+  std::vector<uint32_t> sizes;  // payload size of each video chunk
+  size_t pos = 0;               // next frame index
+  int width = 0, height = 0, total_header = 0;
+  double fps = 0.0;
+};
+
+static bool rd(FILE* f, void* p, size_t n) { return fread(p, 1, n, f) == n; }
+
+static bool rd_u32(FILE* f, uint32_t* v) { return rd(f, v, 4); }
+
+static bool tag_eq(const char t[4], const char* s) {
+  return std::memcmp(t, s, 4) == 0;
+}
+
+// Scan the chunks of a list that ends at byte `end`; record video-stream
+// data chunks ("##dc"/"##db" of stream 00) and recurse into "rec " lists.
+static void scan_movi(SwtAvi* a, int64_t end, int64_t file_size) {
+  while (true) {
+    int64_t at = ftell(a->f);
+    if (at < 0 || at + 8 > end) break;
+    char tag[4];
+    uint32_t sz;
+    if (!rd(a->f, tag, 4) || !rd_u32(a->f, &sz)) break;
+    int64_t data_at = at + 8;
+    if (tag_eq(tag, "LIST")) {
+      char kind[4];
+      if (!rd(a->f, kind, 4)) break;
+      if (tag_eq(kind, "rec ")) {
+        scan_movi(a, data_at + sz, file_size);
+      }
+      fseek(a->f, data_at + sz + (sz & 1), SEEK_SET);
+      continue;
+    }
+    if ((tag[2] == 'd' && (tag[3] == 'c' || tag[3] == 'b')) && tag[0] == '0' &&
+        tag[1] == '0' && sz > 0) {
+      // a chunk cut off by file truncation is CLAMPED, not dropped:
+      // libjpeg (like FFmpeg in cv2) salvages the partial scan data, so
+      // the error accounting matches the cv2 path frame for frame
+      int64_t avail = file_size - data_at;
+      if (avail > 0) {
+        a->offs.push_back(data_at);
+        a->sizes.push_back(static_cast<uint32_t>(
+            std::min<int64_t>(sz, avail)));
+      }
+    }
+    fseek(a->f, data_at + sz + (sz & 1), SEEK_SET);
+  }
+  fseek(a->f, end, SEEK_SET);
+}
+
+void* swt_avi_open(const char* path, int* n_frames, double* fps, int* width,
+                   int* height) {
+  FILE* f = fopen(path, "rb");
+  if (!f) return nullptr;
+  fseek(f, 0, SEEK_END);
+  const int64_t file_size = ftell(f);
+  fseek(f, 0, SEEK_SET);
+
+  char tag[4], kind[4];
+  uint32_t sz;
+  if (!rd(f, tag, 4) || !tag_eq(tag, "RIFF") || !rd_u32(f, &sz) ||
+      !rd(f, kind, 4) || !tag_eq(kind, "AVI ")) {
+    fclose(f);
+    return nullptr;
+  }
+
+  SwtAvi* a = new SwtAvi();
+  a->f = f;
+  bool mjpg = false;
+  uint32_t us_per_frame = 0, scale = 0, rate = 0;
+
+  // top-level walk
+  while (true) {
+    int64_t at = ftell(f);
+    if (at < 0 || at + 8 > file_size) break;
+    if (!rd(f, tag, 4) || !rd_u32(f, &sz)) break;
+    int64_t data_at = at + 8;
+    if (tag_eq(tag, "LIST")) {
+      if (!rd(f, kind, 4)) break;
+      int64_t list_end = data_at + sz;
+      if (tag_eq(kind, "hdrl")) {
+        // walk hdrl: avih + per-stream strl lists
+        while (true) {
+          int64_t hat = ftell(f);
+          if (hat + 8 > list_end) break;
+          char t2[4];
+          uint32_t s2;
+          if (!rd(f, t2, 4) || !rd_u32(f, &s2)) break;
+          int64_t d2 = hat + 8;
+          if (tag_eq(t2, "avih") && s2 >= 40) {
+            uint32_t v[10];
+            if (rd(f, v, 40)) {
+              us_per_frame = v[0];
+              a->total_header = static_cast<int>(v[4]);
+              a->width = static_cast<int>(v[8]);
+              a->height = static_cast<int>(v[9]);
+            }
+          } else if (tag_eq(t2, "LIST")) {
+            char k2[4];
+            if (!rd(f, k2, 4)) break;
+            if (tag_eq(k2, "strl")) {
+              int64_t strl_end = d2 + s2;
+              bool vids = false;
+              while (true) {
+                int64_t sat = ftell(f);
+                if (sat + 8 > strl_end) break;
+                char t3[4];
+                uint32_t s3;
+                if (!rd(f, t3, 4) || !rd_u32(f, &s3)) break;
+                int64_t d3 = sat + 8;
+                if (tag_eq(t3, "strh") && s3 >= 32) {
+                  char fcc[8];
+                  uint32_t v3[6];
+                  if (rd(f, fcc, 8) && rd(f, v3, 24)) {
+                    vids = std::memcmp(fcc, "vids", 4) == 0;
+                    if (vids) {
+                      if (std::memcmp(fcc + 4, "MJPG", 4) == 0 ||
+                          std::memcmp(fcc + 4, "mjpg", 4) == 0)
+                        mjpg = true;
+                      // AVISTREAMHEADER: dwFlags, wPriority|wLanguage,
+                      // dwInitialFrames, dwScale, dwRate, dwStart
+                      scale = v3[3];
+                      rate = v3[4];
+                    }
+                  }
+                } else if (tag_eq(t3, "strf") && vids && s3 >= 20) {
+                  uint8_t bih[20];
+                  if (rd(f, bih, 20) && std::memcmp(bih + 16, "MJPG", 4) == 0)
+                    mjpg = true;
+                }
+                fseek(f, d3 + s3 + (s3 & 1), SEEK_SET);
+              }
+              fseek(f, strl_end + (s2 & 1), SEEK_SET);
+              continue;
+            }
+          }
+          fseek(f, d2 + s2 + (s2 & 1), SEEK_SET);
+        }
+        fseek(f, list_end + (sz & 1), SEEK_SET);
+        continue;
+      }
+      if (tag_eq(kind, "movi")) {
+        scan_movi(a, list_end, file_size);
+        fseek(f, list_end + (sz & 1), SEEK_SET);
+        continue;
+      }
+      fseek(f, list_end + (sz & 1), SEEK_SET);
+      continue;
+    }
+    fseek(f, data_at + sz + (sz & 1), SEEK_SET);
+  }
+
+  if (!mjpg || a->offs.empty()) {
+    fclose(f);
+    delete a;
+    return nullptr;
+  }
+  if (rate > 0 && scale > 0)
+    a->fps = static_cast<double>(rate) / scale;
+  else if (us_per_frame > 0)
+    a->fps = 1e6 / us_per_frame;
+  if (a->total_header <= 0) a->total_header = static_cast<int>(a->offs.size());
+  *n_frames = a->total_header;
+  *fps = a->fps;
+  *width = a->width;
+  *height = a->height;
+  return a;
+}
+
+// Decode the next frame.  Returns 0 on success (fills out/h/w), -1 on a
+// decode error (stream still advances, like a failed cv2 retrieve), -2 at
+// end of stream.
+int swt_avi_read_bgr(void* handle, uint8_t* out, int max_h, int max_w,
+                     int* h, int* w) {
+  SwtAvi* a = static_cast<SwtAvi*>(handle);
+  if (a->pos >= a->offs.size()) return -2;
+  const int64_t off = a->offs[a->pos];
+  const uint32_t sz = a->sizes[a->pos];
+  a->pos += 1;
+  std::vector<uint8_t> buf(sz);
+  if (fseek(a->f, off, SEEK_SET) != 0 || !rd(a->f, buf.data(), sz)) return -1;
+  return swt_decode_jpeg_bgr(buf.data(), sz, out, max_h, max_w, h, w);
+}
+
+void swt_avi_close(void* handle) {
+  SwtAvi* a = static_cast<SwtAvi*>(handle);
+  if (a->f) fclose(a->f);
+  delete a;
 }
 
 }  // extern "C"

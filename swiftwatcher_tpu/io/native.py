@@ -73,6 +73,18 @@ def _load() -> Optional[ctypes.CDLL]:
             ctypes.c_int, ctypes.c_int, u8p, u8p, ctypes.c_int,
         ]
         lib.swt_decode_window_gray.restype = ctypes.c_int
+        lib.swt_avi_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.swt_avi_open.restype = ctypes.c_void_p
+        lib.swt_avi_read_bgr.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.swt_avi_read_bgr.restype = ctypes.c_int
+        lib.swt_avi_close.argtypes = [ctypes.c_void_p]
         _lib = lib
         return _lib
 
@@ -120,6 +132,67 @@ def decode_jpeg_bgr(data: bytes, max_h: int = 4320, max_w: int = 7680) -> Option
         return None
     n = h.value * w.value * 3
     return out[:n].reshape(h.value, w.value, 3).copy()
+
+
+class AVIReader:
+    """Sequential MJPEG-in-AVI decoder over the native container parser.
+
+    First-party replacement for cv2.VideoCapture on the reference's own
+    capture format (io_video.py:142-163).  Use AVIReader.open(): it returns
+    None for anything that is not an MJPG AVI (or when the native library
+    is unavailable), and the caller falls back to cv2."""
+
+    def __init__(self, lib, handle, n_frames, fps, width, height):
+        self._lib = lib
+        self._handle = handle
+        self.n_frames = n_frames
+        self.fps = fps
+        self.width = width
+        self.height = height
+
+    @classmethod
+    def open(cls, path) -> Optional["AVIReader"]:
+        lib = _load()
+        if lib is None:
+            return None
+        n = ctypes.c_int(0)
+        fps = ctypes.c_double(0.0)
+        w = ctypes.c_int(0)
+        h = ctypes.c_int(0)
+        handle = lib.swt_avi_open(
+            str(path).encode(), ctypes.byref(n), ctypes.byref(fps),
+            ctypes.byref(w), ctypes.byref(h),
+        )
+        if not handle:
+            return None
+        return cls(lib, handle, n.value, fps.value, w.value, h.value)
+
+    def read(self) -> Optional[np.ndarray]:
+        """Next frame as (H, W, 3) uint8 BGR; None on decode error (stream
+        advances, like a failed cv2 retrieve) or at end of stream."""
+        max_h = self.height or 4320
+        max_w = self.width or 7680
+        out = np.empty(max_h * max_w * 3, np.uint8)
+        h = ctypes.c_int(0)
+        w = ctypes.c_int(0)
+        rc = self._lib.swt_avi_read_bgr(
+            self._handle, _u8ptr(out), max_h, max_w,
+            ctypes.byref(h), ctypes.byref(w),
+        )
+        if rc != 0:
+            return None
+        return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.swt_avi_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def decode_window_gray(

@@ -186,25 +186,56 @@ class HDF5Source(FrameSource):
 
 
 class VideoFileSource(FrameSource):
-    """cv2.VideoCapture-backed source, strictly sequential
-    (io_video.py:134-165)."""
+    """Container-backed source, strictly sequential (io_video.py:134-165).
+
+    MJPG AVIs decode through the first-party native parser + libjpeg
+    (native/framepump.cpp swt_avi_*: container walk, frame table, threaded-
+    capable decode — no cv2 anywhere on that path); every other container
+    falls back to cv2.VideoCapture.  Both backends present identical
+    retrieve-then-grab semantics: read_frame returns the CURRENT frame and
+    advances, frame 0 is primed at open, a failed decode yields None (the
+    base class then substitutes the last good frame and bumps read_errors,
+    io_video.py:51-53), and --start is ignored (io_video.py:146)."""
 
     supports_seek = False
 
-    def __init__(self, filepath, end: int = 0):
+    def __init__(self, filepath, end: int = 0, backend: str = "auto"):
         super().__init__()
-        import cv2
-
         self.filepath = Path(filepath)
-        self._cap = cv2.VideoCapture(str(filepath))
-        self._cap.grab()  # prime so retrieve() works for frame 0
-        self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
-        self.start_frame = 0
-        self.end_frame = end if end > 0 else int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        self.backend = "cv2"
+        self._avi = None
+        if backend in ("auto", "native"):
+            from . import native
+
+            self._avi = native.AVIReader.open(filepath)
+        if self._avi is not None:
+            self.backend = "native"
+            self.fps = float(self._avi.fps)
+            self.start_frame = 0
+            self.end_frame = end if end > 0 else self._avi.n_frames
+            self._current = self._avi.read()  # prime frame 0
+        else:
+            if backend == "native":
+                raise ValueError(f"{filepath}: not an MJPG AVI (or no native lib)")
+            import cv2
+
+            self._cap = cv2.VideoCapture(str(filepath))
+            self._cap.grab()  # prime so retrieve() works for frame 0
+            self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
+            self.start_frame = 0
+            self.end_frame = (
+                end if end > 0 else int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            )
         self.next_frame_number = self.start_frame
         self.total_frames = self.end_frame - self.start_frame
 
     def read_frame(self, frame_number: int, increment: bool = True):
+        if self.backend == "native":
+            frame = self._current
+            if increment:
+                self._current = self._avi.read()
+                self.next_frame_number += 1
+            return frame
         ok, frame = self._cap.retrieve()
         if not ok:
             frame = None
