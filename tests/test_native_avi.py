@@ -114,3 +114,34 @@ def test_non_mjpg_falls_back_to_cv2(tmp_path):
     assert src.backend == "cv2"
     f, num, _ = src.get_frame()
     assert num == 0 and f is not None and f.shape == (h, w, 3)
+
+
+@pytest.mark.parametrize(
+    "payload",
+    [
+        b"",
+        b"RIFF",
+        b"RIFF\x10\x00\x00\x00WAVE" + b"\x00" * 16,          # not AVI
+        b"RIFF\xff\xff\xff\xffAVI " + b"\x00" * 8,            # absurd size
+        b"RIFF\x20\x00\x00\x00AVI LIST\xff\xff\xff\xffhdrl",  # huge list
+        b"not a riff file at all, just text " * 4,
+    ],
+)
+def test_malformed_containers_fail_open_cleanly(tmp_path, payload):
+    p = tmp_path / "bad.avi"
+    p.write_bytes(payload)
+    assert native.AVIReader.open(p) is None
+
+
+def test_random_bytes_never_crash_open(tmp_path, rng):
+    for i in range(20):
+        p = tmp_path / f"fuzz{i}.avi"
+        body = rng.integers(0, 256, int(rng.integers(8, 4096)), dtype=np.uint8)
+        payload = body.tobytes()
+        if i % 3 == 0:  # valid magic, garbage body — exercises the walker
+            payload = b"RIFF" + payload[:4] + b"AVI " + payload
+        p.write_bytes(payload)
+        r = native.AVIReader.open(p)
+        if r is not None:  # if the fuzz happened to parse, reads must not crash
+            r.read()
+            r.close()
