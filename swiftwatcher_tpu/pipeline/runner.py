@@ -94,7 +94,9 @@ def run_video(
     (the whole tracker as one lax.scan per batch, pipeline/tracking_jax.py;
     only segment tables' scalars ever leave the device).  Device mode does
     not support segment_filter/export_segments_dir (they need host frames)
-    or checkpointing, and falls back to host when those are requested.
+    and falls back to host, with a warning, when those are requested.
+    Checkpointing works in both modes (formats are marked and not
+    cross-resumable: the device state is a fixed-capacity TrackState).
     profile_dir: when set, a jax.profiler trace of the run is captured
     there (viewable in TensorBoard/Perfetto), host stages are wrapped in
     TraceAnnotations, and per-stage DEVICE times are recorded in the
@@ -102,17 +104,14 @@ def run_video(
     serializes dispatch and consume, so throughput drops while it is on.
     """
     if tracker_impl == "device" and (
-        segment_filter is not None
-        or export_segments_dir is not None
-        or checkpoint_path is not None
+        segment_filter is not None or export_segments_dir is not None
     ):
         import warnings
 
         warnings.warn(
             "tracker_impl='device' is incompatible with "
-            "segment_filter/export_segments_dir/checkpoint_path (they need "
-            "host frames or host tracker state); falling back to the host "
-            "tracker",
+            "segment_filter/export_segments_dir (they need host frames); "
+            "falling back to the host tracker",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -126,9 +125,21 @@ def run_video(
     tracker = SegmentTracker(roi_mask, cfg)
     metrics = RunMetrics()
 
+    use_device_tracker = tracker_impl == "device"
+    if use_device_tracker:
+        from .tracking_jax import compact_tables, empty_state, track_window
+
+        roi_dev = jax.device_put(roi_mask)
+        dev_state = empty_state(cfg.max_tracks)
+
     frames_processed = 0
     if checkpoint_path is not None:
-        restored = load_checkpoint(checkpoint_path, tracker)
+        if use_device_tracker:
+            from ..utils.checkpoint import load_checkpoint_device
+
+            restored = load_checkpoint_device(checkpoint_path)
+        else:
+            restored = load_checkpoint(checkpoint_path, tracker)
         if restored is not None:
             if not getattr(source, "supports_seek", False):
                 raise ValueError(
@@ -136,7 +147,12 @@ def run_video(
                     "reads in order and ignores frame numbers) — re-encode "
                     "to HDF5/npy for checkpointed runs"
                 )
-            source.next_frame_number, frames_processed = restored
+            if use_device_tracker:
+                (source.next_frame_number, frames_processed,
+                 dev_state, prior_events) = restored
+                tracker.events.extend(prior_events)
+            else:
+                source.next_frame_number, frames_processed = restored
 
     ialm_iters: List[int] = []
     needs_frames = segment_filter is not None or export_segments_dir is not None
@@ -145,13 +161,6 @@ def run_video(
         initial_planned=frames_processed,
         frame_hw=None if ff is None else ff.shape[:2],
     )
-
-    use_device_tracker = tracker_impl == "device"
-    if use_device_tracker:
-        from .tracking_jax import compact_tables, empty_state, track_window
-
-        roi_dev = jax.device_put(roi_mask)
-        dev_state = empty_state(cfg.max_tracks)
 
     profiling = profile_dir is not None
     if profiling:
@@ -220,7 +229,10 @@ def run_video(
                 t0 = _time.perf_counter()
                 int(ev.count)
                 metrics.device_stage_add("track_scan", _time.perf_counter() - t0)
-            return table, iters, wins, cursor, (ev, overflow)
+            # dev_state is snapshotted HERE (it already reflects this batch)
+            # so a checkpoint written at consume time pairs the state with
+            # this batch's cursor, not the one dispatched after it
+            return table, iters, wins, cursor, (ev, overflow, dev_state)
         return table, iters, wins, cursor, None
 
     def consume(pending):
@@ -228,7 +240,7 @@ def run_video(
         metrics.stage_start("consume")
         table, iters, wins, cursor, ev = pending
         if use_device_tracker:
-            ev, overflow = ev
+            ev, overflow, state_snapshot = ev
             ev = jax.tree.map(np.asarray, ev)  # waits for the device
             # Only count real windows: slots beyond len(wins) are zero-padded
             # batch fillers whose RPCA/label content is meaningless.
@@ -269,6 +281,16 @@ def run_video(
                 metrics.windows += 1
             metrics.batches += 1
             metrics.frames_processed = frames_processed
+            if (
+                checkpoint_path is not None
+                and metrics.batches % checkpoint_interval_batches == 0
+            ):
+                from ..utils.checkpoint import save_checkpoint_device
+
+                save_checkpoint_device(
+                    checkpoint_path, cursor[0], frames_processed,
+                    state_snapshot, tracker.events,
+                )
             metrics.stage_stop("consume")
             if status_cb is not None:
                 status_cb(frames_processed, source.total_frames)

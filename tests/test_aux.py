@@ -156,8 +156,44 @@ def test_device_tracker_fallback_warns(tmp_path, video):
             ArraySource(video.frames, fps=video.fps),
             video.corners,
             DEFAULT_CONFIG,
-            checkpoint_path=tmp_path / "ck.ckpt",
+            export_segments_dir=tmp_path / "segs",
             tracker_impl="device",
+        )
+
+
+def test_device_tracker_checkpoint_resume(tmp_path, video):
+    # device-tracker runs checkpoint and resume to the same counts as an
+    # uninterrupted run (TrackState + drained events serialized)
+    full = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, tracker_impl="device",
+    )
+
+    ck = tmp_path / "dev.ckpt"
+    partial_src = ArraySource(video.frames, fps=video.fps)
+    partial_src.total_frames = 21
+    run_video(
+        partial_src, video.corners, DEFAULT_CONFIG,
+        checkpoint_path=ck, checkpoint_interval_batches=1,
+        tracker_impl="device",
+    )
+    assert ck.exists()
+
+    resumed = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, checkpoint_path=ck, tracker_impl="device",
+    )
+    assert resumed.total_predicted == full.total_predicted
+    assert resumed.total_rejected == full.total_rejected
+    assert sorted(e.frame_number for e in resumed.events) == sorted(
+        e.frame_number for e in full.events
+    )
+
+    # host/device checkpoint formats refuse cross-resume
+    with pytest.raises(ValueError, match="device-tracker checkpoint"):
+        run_video(
+            ArraySource(video.frames, fps=video.fps), video.corners,
+            DEFAULT_CONFIG, checkpoint_path=ck, tracker_impl="host",
         )
 
 
