@@ -133,6 +133,20 @@ class PipelineConfig:
     # identical iteration counts and within the established +-2 uint8 motion
     # envelope (see ops/rpca.py and git history for the numbers).
     rpca_warm_basis: bool = True
+    # IALM storage dtypes (CLAUDE.md backlog #3 — HBM-traffic cuts below the
+    # solver's roofline; compute stays f32 everywhere):
+    # Hold X as uint8 between uses inside the solver.  LOSSLESS (grayscale
+    # windows are uint8-valued; integers 0..255 are exact under the f32
+    # upcast), bit-identical output, measured -12% ms/trip on v5e.  Ignored
+    # on the fused-front path (the Pallas kernel reads f32 X).
+    rpca_store_x_u8: bool = True
+    # Round the loop-carried A/E/Y to bfloat16 between iterations.  LOSSY:
+    # max +-1 uint8 motion drift on ~0.007% of pixels (within the warm-basis
+    # +-2 envelope), iteration counts +-1, measured -27% ms/trip on v5e.
+    # Count parity verified across the oracle/hard-scene corpus with the
+    # flag on (tests/test_rpca_storage.py).  Only applied when rpca_dtype is
+    # float32 (f64 runs are strict-parity validation).
+    rpca_state_bf16: bool = True
     # Decode HDF5 JPEG frames with the native C++ pump straight to cropped
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
     # IDCT may differ from cv2's bundled build by +-1 count per pixel.

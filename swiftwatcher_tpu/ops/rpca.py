@@ -233,7 +233,8 @@ def rpca_motion_window(
     jax.jit,
     static_argnames=(
         "lmbda", "tol", "max_iter", "rho", "mu_cap", "axis_name",
-        "fused_front", "warm_basis",
+        "fused_front", "warm_basis", "x_store_dtype", "store_y_dtype",
+        "store_ae_dtype",
     ),
 )
 def ialm_rpca_batched(
@@ -246,6 +247,9 @@ def ialm_rpca_batched(
     axis_name=None,
     fused_front: bool = False,
     warm_basis: bool = False,
+    x_store_dtype: str | None = None,
+    store_y_dtype: str | None = None,
+    store_ae_dtype: str | None = None,
 ):
     """Batched IALM over row-convention X (B, T, P) — frames are ROWS, so
     the window batch needs no transposes and the P axis stays in lanes.
@@ -271,7 +275,20 @@ def ialm_rpca_batched(
     iterate.  Saves one (B,T,P)x(B,P,T) Gram and one batched eigh per
     iteration at the cost of one extra Gram+eigh before the loop.
     (CLAUDE.md backlog #5; measured on hardware — see git history.)
+
+    Storage-dtype experiments (CLAUDE.md backlog #3 — HBM-traffic
+    reduction below the solver's roofline; compute stays in X.dtype):
+      x_store_dtype: dtype X is HELD in between uses ('uint8'/'bfloat16').
+        For uint8-origin grayscale windows both are LOSSLESS (integers
+        0..255 are exact in bfloat16), so this is bit-identical arithmetic
+        with less read traffic.  Incompatible with fused_front (the Pallas
+        kernel reads f32 X).
+      store_y_dtype / store_ae_dtype: loop-carried Y / (A, E) rounded to
+        this dtype between iterations.  LOSSY (bf16 keeps ~3 significant
+        digits) — affects convergence and output; measure before shipping.
     """
+    if fused_front and x_store_dtype is not None:
+        raise ValueError("x_store_dtype is incompatible with fused_front")
 
     def allsum(v):
         return jax.lax.psum(v, axis_name) if axis_name else v
@@ -293,12 +310,20 @@ def ialm_rpca_batched(
     Y0 = X / dual[..., None, None]
     mu0 = 1.25 / frob
 
+    sd_x = jnp.dtype(x_store_dtype) if x_store_dtype else None
+    sd_y = jnp.dtype(store_y_dtype) if store_y_dtype else None
+    sd_ae = jnp.dtype(store_ae_dtype) if store_ae_dtype else None
+    Xs = X.astype(sd_x) if sd_x is not None else X
+
     def cond(state):
         _, _, _, _, _, itr, err = state
         return jnp.any(jnp.logical_and(err >= tol, itr < max_iter))
 
     def body(state):
-        A, E, Y, mu, V, itr, err = state
+        A_s, E_s, Y_s, mu, V, itr, err = state
+        A = A_s.astype(dtype) if sd_ae is not None else A_s
+        Y = Y_s.astype(dtype) if sd_y is not None else Y_s
+        X = Xs.astype(dtype) if sd_x is not None else Xs
         active = jnp.logical_and(err >= tol, itr < max_iter)       # (B,)
         inv_mu = (1.0 / mu)[..., None, None]
         if fused_front:
@@ -358,17 +383,20 @@ def ialm_rpca_batched(
 
         keep = active[..., None, None]
         Vnext = _mm(V0, V1) if warm_basis else V
+        A_new = Aupd.astype(sd_ae) if sd_ae is not None else Aupd
+        E_new = Eupd.astype(sd_ae) if sd_ae is not None else Eupd
+        Y_new = Ynew.astype(sd_y) if sd_y is not None else Ynew
         return (
-            jnp.where(keep, Aupd, A),
-            jnp.where(keep, Eupd, E),
-            jnp.where(keep, Ynew, Y),
+            jnp.where(keep, A_new, A_s),
+            jnp.where(keep, E_new, E_s),
+            jnp.where(keep, Y_new, Y_s),
             jnp.where(active, mu_new, mu),
             jnp.where(keep, Vnext, V),
             itr + active.astype(jnp.int32),
             jnp.where(active, err_new, err),
         )
 
-    zeros = jnp.zeros_like(X)
+    zeros = jnp.zeros_like(X, dtype=sd_ae if sd_ae is not None else dtype)
     B, T = X.shape[0], X.shape[1]
     if warm_basis:
         # seed the carried basis from M0 = X + Y0 / mu0 (A0 = E0 = 0): one
@@ -390,14 +418,14 @@ def ialm_rpca_batched(
     init = (
         zeros,
         zeros,
-        Y0,
+        Y0.astype(sd_y) if sd_y is not None else Y0,
         mu0,
         V_init,
         jnp.zeros((B,), jnp.int32),
         jnp.full((B,), jnp.inf, dtype),
     )
     A, E, _, _, _, itr, _ = jax.lax.while_loop(cond, body, init)
-    return A, E, itr
+    return A.astype(dtype), E.astype(dtype), itr
 
 
 def rpca_motion_window_batched(
@@ -430,6 +458,12 @@ def rpca_motion_window_batched(
         Pp = -(-P // TILE) * TILE
         if Pp != P:
             X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P)))
+    # Storage-dtype knobs (see config.py): X-as-uint8 is lossless for these
+    # uint8-origin windows; bf16 loop state is a measured, bounded envelope.
+    x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
+    state_sd = (
+        "bfloat16" if (cfg.rpca_state_bf16 and dtype == jnp.float32) else None
+    )
     _, E, iters = ialm_rpca_batched(
         X,
         lmbda=cfg.rpca_lambda,
@@ -439,6 +473,9 @@ def rpca_motion_window_batched(
         mu_cap=cfg.rpca_mu_cap,
         fused_front=fused,
         warm_basis=warm,
+        x_store_dtype=x_sd,
+        store_y_dtype=state_sd,
+        store_ae_dtype=state_sd,
     )
     motion = jnp.clip(-E[..., :P], 0.0, 255.0).astype(jnp.uint8)
     return motion.reshape(B, T, H, W), iters

@@ -107,6 +107,14 @@ def sharded_localize_windows(
             if Pp != P_loc:
                 # zero pixel columns are exactly IALM-neutral (tested)
                 X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P_loc)))
+        # Same storage-dtype knobs as rpca_motion_window_batched: the casts
+        # are purely local to each device's pixel block.
+        x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
+        state_sd = (
+            "bfloat16"
+            if (cfg.rpca_state_bf16 and dtype == jnp.float32)
+            else None
+        )
         _, E, iters = ialm_rpca_batched(
             X,
             lmbda=cfg.rpca_lambda,
@@ -117,6 +125,9 @@ def sharded_localize_windows(
             axis_name="model",
             fused_front=fused,
             warm_basis=warm,
+            x_store_dtype=x_sd,
+            store_y_dtype=state_sd,
+            store_ae_dtype=state_sd,
         )
         motion_local = (
             jnp.clip(-E[..., :P_loc], 0.0, 255.0)

@@ -132,7 +132,30 @@ def select_filepaths() -> List[Path]:
     if not paths:
         sys.stderr.write("[!] Error: No file selected.\n")
         sys.exit(1)
+    prompt_additional_selection(paths)
     return paths
+
+
+def prompt_additional_selection(file_list: Sequence[Path]) -> bool:
+    """The reference's "select more files?" confirm prompt (ui.py:81-99):
+    lists the chosen files, asks for more.
+
+    In the reference the answer is compared with `is "y"` — identity against
+    a fresh, lowercased input() string — so it is ALWAYS false and the
+    selection loop exits after one pass regardless of the reply.  That
+    effective behavior (prompt shown, answer ignored) is reproduced here
+    deliberately; returning True would be a parity deviation, not a fix."""
+    print("[*] Video files to be analysed: ")
+    print(*["[-]     {}".format(f.name) for f in file_list], sep="\n")
+    try:
+        input(
+            "[*] Are there additional files you would like to "
+            "select? (Y/N) \n"
+            "[-]     Input: "
+        )
+    except EOFError:
+        pass
+    return False
 
 
 def start_status(video_name: str) -> None:
