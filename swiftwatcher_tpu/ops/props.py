@@ -56,29 +56,28 @@ class RegionTable:
         return jnp.sum(self.valid, axis=-1)
 
 
-@functools.partial(jax.jit, static_argnames=("with_bbox",))
-def region_tables(labels_u8: jnp.ndarray, with_bbox: bool = True) -> RegionTable:
-    """Compute RegionTable for a (..., H, W) uint8 label batch.
+# Label capacity of the fast moment path.  Realistic frames hold < 10
+# segments; the full 256-slot path runs (via lax.cond) only when a frame in
+# the batch actually uses a label >= this.
+FAST_LABELS = 32
 
-    Moment accumulation is a one-hot matmul (MXU work: XLA fuses the
-    iota-compare one-hot into the dot) rather than scatter-adds, which are
-    slow on TPU.  Row/column extents come from per-row / per-column label
-    presence masks (matmul reductions again), avoiding scatter-min/max.
 
-    with_bbox=False skips the bbox work: tracking and event detection only
-    use centroids (segment_tracking.py uses .centroid; bbox feeds only the
-    --classify / --export crop extraction).
+def _moment_tables(lab: jnp.ndarray, K: int, with_bbox: bool):
+    """Moments/extents of labels 0..K-1 for (T, H, W) int32 labels.
+
+    Moment accumulation is a one-hot reduction (XLA fuses the iota-compare
+    one-hot into the sum) rather than scatter-adds, which are slow on TPU.
+    Row/column extents come from per-row / per-column label presence masks,
+    avoiding scatter-min/max.  The streamed virtual (T, H, W, K) one-hot is
+    the cost of this op — linear in K, which is why the K=FAST_LABELS path
+    exists.
     """
-    *lead, H, W = labels_u8.shape
-    T = int(np.prod(lead)) if lead else 1
-    lab = labels_u8.reshape(T, H, W).astype(jnp.int32)
-    k_ids = jnp.arange(MAX_LABELS, dtype=jnp.int32)
+    T, H, W = lab.shape
+    k_ids = jnp.arange(K, dtype=jnp.int32)
 
-    # One-hot in bf16 (0/1 are exact) with f32 accumulation: the streamed
-    # (T, H, W, K) intermediate is the cost of this op, so halving its bytes
-    # halves the runtime.  All sums stay exact: per-row/column counts are
-    # <= max(H, W) and accumulate in f32; coordinate-weighted sums are then
-    # taken over the SMALL count tensors in f32.
+    # One-hot in bf16 (0/1 are exact) with f32 accumulation.  All sums stay
+    # exact: per-row/column counts are <= max(H, W) and accumulate in f32;
+    # coordinate-weighted sums are then taken over the SMALL count tensors.
     onehot = (lab[..., None] == k_ids).astype(jnp.bfloat16)
     row_counts = jnp.einsum(
         "thwk->thk", onehot, preferred_element_type=jnp.float32
@@ -116,13 +115,57 @@ def region_tables(labels_u8: jnp.ndarray, with_bbox: bool = True) -> RegionTable
     else:
         min_y = min_x = max_y = max_x = zero
 
+    pad = ((0, 0), (0, MAX_LABELS - K))
+    def expand(a):
+        return jnp.pad(a, pad) if K != MAX_LABELS else a
+
+    return tuple(
+        expand(a)
+        for a in (
+            jnp.where(valid, area, zero),
+            jnp.where(valid, sum_y, zero),
+            jnp.where(valid, sum_x, zero),
+            min_y, min_x, max_y, max_x,
+            valid,
+        )
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("with_bbox",))
+def region_tables(labels_u8: jnp.ndarray, with_bbox: bool = True) -> RegionTable:
+    """Compute RegionTable for a (..., H, W) uint8 label batch.
+
+    The moment reduction streams a virtual (T, H, W, K) one-hot, so its cost
+    is linear in the label capacity K.  Realistic frames hold far fewer than
+    FAST_LABELS segments, so a runtime lax.cond picks the K=FAST_LABELS
+    reduction (padded back to 256 slots with zeros — bit-identical output by
+    construction) whenever every label in the batch fits, and the full
+    K=256 path otherwise (pathological scenes, aliased-label stress tests).
+
+    with_bbox=False skips the bbox work: tracking and event detection only
+    use centroids (segment_tracking.py uses .centroid; bbox feeds only the
+    --classify / --export crop extraction).
+    """
+    *lead, H, W = labels_u8.shape
+    T = int(np.prod(lead)) if lead else 1
+    lab = labels_u8.reshape(T, H, W).astype(jnp.int32)
+
+    fits = jnp.max(labels_u8) < FAST_LABELS
+    parts = jax.lax.cond(
+        fits,
+        lambda l: _moment_tables(l, FAST_LABELS, with_bbox),
+        lambda l: _moment_tables(l, MAX_LABELS, with_bbox),
+        lab,
+    )
+    area, sum_y, sum_x, min_y, min_x, max_y, max_x, valid = parts
+
     def shape(a):
         return a.reshape(*lead, MAX_LABELS) if lead else a[0]
 
     return RegionTable(
-        area=shape(jnp.where(valid, area, zero)),
-        sum_y=shape(jnp.where(valid, sum_y, zero)),
-        sum_x=shape(jnp.where(valid, sum_x, zero)),
+        area=shape(area),
+        sum_y=shape(sum_y),
+        sum_x=shape(sum_x),
         min_y=shape(min_y),
         min_x=shape(min_x),
         max_y=shape(max_y),

@@ -122,3 +122,31 @@ def test_region_tables_num_segments(rng):
     table = region_tables(np.asarray(wrap_labels_uint8(labels)))
     # below 256 components, num_segments == CCL counts
     np.testing.assert_array_equal(np.asarray(table.num_segments), np.asarray(counts))
+
+
+def test_sweep_chunk_matches_xla_pools(rng):
+    # The separable Pallas sweep kernel (interpret mode on CPU) must be
+    # bit-identical to K XLA min-pool sweeps, including odd-N padding and
+    # the fast/slow paths of the K=FAST_LABELS props cond downstream.
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.ops.ccl import _min_pool_8
+    from swiftwatcher_tpu.ops.pallas.ccl_sweep import sweep_chunk
+
+    for N in (3, 4):                       # odd N exercises the pad path
+        H, W = 24, 40
+        P = H * W
+        sentinel = float(P)
+        fg = np.stack([_random_blobs(rng, H, W, 0.3) > 0 for _ in range(N)])
+        idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.float32)
+        lbl = np.where(fg, idx[None], np.float32(sentinel))
+
+        ref = jnp.asarray(lbl)
+        for _ in range(6):
+            pooled = _min_pool_8(ref, sentinel)
+            ref = jnp.where(fg, jnp.minimum(ref, pooled), jnp.float32(sentinel))
+
+        out = sweep_chunk(
+            jnp.asarray(lbl), jnp.asarray(fg), 6, sentinel, interpret=True
+        )
+        np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
