@@ -111,8 +111,11 @@ class PipelineConfig:
     # reference runs float64 NumPy.  Tests may use float64 on CPU for
     # bit-accurate checks.
     rpca_dtype: str = "float32"
-    # Number of host prefetch buffers for window streaming.
-    prefetch_depth: int = 2
+    # Number of host prefetch buffers for window streaming.  Measured on the
+    # v5e rig (warm programs, device tracker): depth 4 beats 2 in BOTH wire
+    # modes (raw 300->327 fps, delta4 379->415) — deeper queueing absorbs
+    # the link's latency jitter; host cost is ~32 MB of staging per slot.
+    prefetch_depth: int = 4
     # Windows per device dispatch: amortizes host->device round-trip latency
     # (the per-call overhead dwarfs compute for a single 21-frame window).
     # Swept end-to-end on the v5e rig: 4 -> 179 fps, 8 -> 257, 16 -> 338,
@@ -151,6 +154,20 @@ class PipelineConfig:
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
     # IDCT may differ from cv2's bundled build by +-1 count per pixel.
     native_decode: bool = False
+    # ----- wire transport (io/wirecodec.py) ---------------------------------
+    # Host->device transport for the gray window batches: "off" ships raw
+    # uint8; "delta4" ships bit-lossless 4-bit temporal deltas (~2x fewer
+    # bytes on realistic sensor noise, decoded on device ahead of the
+    # localization program); "auto" measures the first batch's upload rate
+    # and enables delta4 below wire_auto_mbps — on a real >10 GB/s v5e host
+    # link raw wins (the host encode would cost more than it saves), on a
+    # network-camera hop or this rig's ~36 MB/s tunnel delta4 ~doubles e2e.
+    wire_codec: str = "auto"
+    # Capacity of the per-batch escape side stream (residuals outside
+    # [-7, 7]: moving birds, exposure steps).  Overflow falls back to a raw
+    # upload for that batch — correctness never depends on content.
+    wire_escape_cap: int = 65536
+    wire_auto_mbps: float = 1000.0
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -21,6 +21,7 @@ import jax
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..ops.color import bgr_to_gray_host
 from .readers import FrameSource
+from .wirecodec import encode_delta4, device_put_packet
 
 
 class WindowPrefetcher:
@@ -67,6 +68,21 @@ class WindowPrefetcher:
                 H, W = self._frame_hw
                 if not (0 <= self.y1 < self.y2 <= H and 0 <= self.x1 < self.x2 <= W):
                     self._encoded_mode = False  # python-slice semantics needed
+        # Wire codec state (io/wirecodec.py): "delta4" encodes every batch;
+        # "auto" probes the host link once with a small dummy transfer and
+        # enables the codec only on slow links (< cfg.wire_auto_mbps).  The
+        # probe uses a plain np.asarray round trip — no compiled program, so
+        # first-compile latency can't contaminate the rate estimate.
+        self._codec_on = cfg.wire_codec == "delta4"
+        if cfg.wire_codec == "auto":
+            import time as _time
+
+            probe = np.zeros(2 * 1024 * 1024, np.uint8)
+            t0 = _time.perf_counter()
+            np.asarray(jax.device_put(probe))
+            rate = probe.nbytes / max(_time.perf_counter() - t0, 1e-9)
+            self._codec_on = rate < cfg.wire_auto_mbps * 1e6
+        self.wire_bytes = 0          # actual bytes enqueued to the device
         self._ex = ThreadPoolExecutor(max_workers=1)
         self._depth = depth or cfg.prefetch_depth
         self._futures = []
@@ -127,11 +143,22 @@ class WindowPrefetcher:
             [w[3] for w in wins]
             + [np.zeros_like(wins[0][3])] * (B - n_real)
         )
-        gray_dev = jax.device_put(gray)  # upload starts here, off-thread
+        payload = None
+        if self._codec_on:
+            T, h, w = gray.shape[1:]
+            pkt = encode_delta4(
+                gray.reshape(-1, h, w), cfg.wire_escape_cap
+            )
+            if pkt is not None:          # escape overflow -> raw fallback
+                payload = device_put_packet(pkt)  # async upload starts here
+                self.wire_bytes += pkt.nbytes
+        if payload is None:
+            payload = jax.device_put(gray)  # upload starts here, off-thread
+            self.wire_bytes += gray.nbytes
         if self._planned >= self.source.total_frames:
             self._exhausted = True
         cursor = (self.source.next_frame_number, self._planned)
-        return gray_dev, [(w[0], w[1], w[2]) for w in wins], cursor
+        return payload, [(w[0], w[1], w[2]) for w in wins], cursor
 
     def next(self):
         """Pop the next ready batch (None when the video is done)."""

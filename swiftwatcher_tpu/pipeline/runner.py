@@ -188,9 +188,23 @@ def run_video(
     def dispatch(batch):
         gray_dev, wins, cursor = batch
         with annotate("localize_dispatch"):
-            table, iters = localize_windows_gray(
-                gray_dev, cfg, with_bbox=needs_frames
-            )
+            from ..io.wirecodec import WirePacket
+
+            if isinstance(gray_dev, WirePacket):
+                from .window import localize_windows_packed
+
+                N, H, W = gray_dev.shape
+                T = cfg.window_size
+                table, iters = localize_windows_packed(
+                    gray_dev.first, gray_dev.packed,
+                    gray_dev.esc_idx, gray_dev.esc_val,
+                    shape=(N // T, T, H, W), cfg=cfg,
+                    with_bbox=needs_frames,
+                )
+            else:
+                table, iters = localize_windows_gray(
+                    gray_dev, cfg, with_bbox=needs_frames
+                )
         if profiling:
             # forced-completion timing: the scalar readback bounds the true
             # device time of the localization program (block_until_ready is
@@ -351,6 +365,7 @@ def run_video(
     metrics.events = len(events)
     metrics.ialm_iters = ialm_iters
     metrics.read_errors = source.read_errors
+    metrics.wire_bytes = prefetcher.wire_bytes
     df_labels = classify_events(events, cfg) if events else None
 
     total_pred = total_rej = 0

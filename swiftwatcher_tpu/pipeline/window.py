@@ -96,6 +96,27 @@ def localize_windows_gray(
     return table, iters
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "with_bbox", "shape"))
+def localize_windows_packed(
+    first: jnp.ndarray,
+    packed: jnp.ndarray,
+    esc_idx: jnp.ndarray,
+    esc_val: jnp.ndarray,
+    shape: Tuple[int, int, int, int],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_bbox: bool = False,
+) -> Tuple[RegionTable, jnp.ndarray]:
+    """As localize_windows_gray, but consuming a wire-codec packet
+    (io/wirecodec.py): the bit-lossless delta4 decode runs on device as a
+    prologue of the same compiled program, so bandwidth-bound links ship
+    ~half the bytes with zero extra dispatches."""
+    from ..io.wirecodec import decode_delta4
+
+    B, T, H, W = shape
+    gray = decode_delta4(first, packed, esc_idx, esc_val, B * T, H, W)
+    return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "keep_stages"))
 def localize_window_debug(
     crop_bgr: jnp.ndarray,

@@ -25,6 +25,8 @@ class RunMetrics:
     events: int = 0
     ialm_iters: List[int] = dataclasses.field(default_factory=list)
     read_errors: int = 0
+    wire_bytes: int = 0       # bytes actually enqueued host->device (after
+                              # the wire codec, when enabled — io/wirecodec.py)
     track_overflows: int = 0  # frames whose segments exceeded max_tracks
                               # (device tracker drops the excess; the host
                               # tracker is capacity-free)
@@ -74,6 +76,7 @@ class RunMetrics:
             "ialm_iters_mean": round(sum(it) / len(it), 2) if it else None,
             "ialm_iters_max": max(it) if it else None,
             "read_errors": self.read_errors,
+            "wire_bytes": self.wire_bytes,
             "track_overflows": self.track_overflows,
             "stage_seconds": {k: round(v, 3) for k, v in self.stage_seconds.items()},
             "device_stage_seconds": {

@@ -1,0 +1,127 @@
+"""Wire codec (io/wirecodec.py): bit-lossless delta4 transport.
+
+The codec has no reference counterpart (the reference is single-process);
+its contract is pure: decode(encode(x)) == x for arbitrary uint8 input, and
+the packed localization program must produce tables identical to the raw
+path — so e2e counts cannot depend on the transport.
+"""
+
+import dataclasses
+
+import numpy as np
+import pytest
+
+from swiftwatcher_tpu.config import DEFAULT_CONFIG
+from swiftwatcher_tpu.io.wirecodec import (
+    WirePacket,
+    decode_delta4,
+    encode_delta4,
+)
+
+
+@pytest.fixture
+def rng():
+    return np.random.default_rng(7)
+
+
+def _roundtrip(gray, cap=None):
+    pkt = encode_delta4(gray, cap if cap is not None else gray.size)
+    assert pkt is not None
+    out = np.asarray(
+        decode_delta4(pkt.first, pkt.packed, pkt.esc_idx, pkt.esc_val, *pkt.shape)
+    )
+    np.testing.assert_array_equal(out, gray)
+    return pkt
+
+
+def test_roundtrip_fuzz(rng):
+    for _ in range(10):
+        N = int(rng.integers(2, 12))
+        H = int(rng.integers(1, 24))
+        W = int(rng.integers(1, 24))
+        _roundtrip(rng.integers(0, 256, size=(N, H, W), dtype=np.uint8))
+
+
+def test_roundtrip_adversarial(rng):
+    # extremes, wraparound-heavy, and odd pixel counts (nibble padding)
+    _roundtrip(np.zeros((4, 3, 3), np.uint8))
+    _roundtrip(np.full((4, 3, 3), 255, np.uint8))
+    alt = np.zeros((6, 5, 7), np.uint8)
+    alt[1::2] = 255                      # residual −1 mod 256 every frame
+    _roundtrip(alt)
+    ramp = (np.arange(8, dtype=np.uint8)[:, None, None] * 37) + np.arange(
+        9, dtype=np.uint8
+    ).reshape(3, 3)[None]
+    _roundtrip(ramp)
+
+
+def test_roundtrip_realistic_compresses(rng):
+    # noise-like deltas (sigma ~2) must fit nibbles: wire < 60% of raw
+    base = rng.integers(60, 200, size=(32, 48), dtype=np.uint8)
+    frames = (
+        base[None].astype(np.int16)
+        + rng.integers(-3, 4, size=(20, 32, 48))
+    ).clip(0, 255).astype(np.uint8)
+    pkt = _roundtrip(frames, cap=256)
+    assert pkt.nbytes < 0.6 * frames.nbytes
+
+
+def test_escape_overflow_returns_none(rng):
+    noisy = rng.integers(0, 256, size=(8, 16, 16), dtype=np.uint8)
+    assert encode_delta4(noisy, escape_cap=4) is None
+
+
+def test_single_frame_returns_none(rng):
+    assert encode_delta4(rng.integers(0, 256, (1, 8, 8), np.uint8), 64) is None
+
+
+def test_packed_localization_matches_raw(rng):
+    """decode fused ahead of the localization program == raw gray path."""
+    import jax
+
+    from swiftwatcher_tpu.pipeline.window import (
+        localize_windows_gray,
+        localize_windows_packed,
+    )
+
+    B, T, H, W = 2, DEFAULT_CONFIG.window_size, 24, 40
+    base = rng.integers(90, 170, size=(H, W), dtype=np.uint8)
+    gray = np.broadcast_to(base, (B, T, H, W)).astype(np.int16)
+    gray = gray + rng.integers(-2, 3, size=gray.shape)
+    gray[0, 5:15, 4:10, 6:12] -= 90      # a moving-ish dark blob
+    gray = gray.clip(0, 255).astype(np.uint8)
+
+    pkt = encode_delta4(gray.reshape(B * T, H, W), 4096)
+    assert pkt is not None
+    t_ref, it_ref = localize_windows_gray(jax.numpy.asarray(gray), DEFAULT_CONFIG)
+    t_pkt, it_pkt = localize_windows_packed(
+        pkt.first, pkt.packed, pkt.esc_idx, pkt.esc_val,
+        shape=(B, T, H, W), cfg=DEFAULT_CONFIG,
+    )
+    for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pkt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(it_ref), np.asarray(it_pkt))
+
+
+def test_e2e_counts_transport_invariant():
+    """run_video with the codec forced on == codec off (counts + events)."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    results = {}
+    for mode in ("off", "delta4"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, wire_codec=mode)
+        src = ArraySource(video.frames, fps=video.fps)
+        results[mode] = run_video(src, video.corners, cfg)
+    off, on = results["off"], results["delta4"]
+    assert on.total_predicted == off.total_predicted
+    assert on.total_rejected == off.total_rejected
+    assert len(on.events) == len(off.events)
+    for a, b in zip(on.events, off.events):
+        assert a.frame_number == b.frame_number
+        assert a.first_centroid == b.first_centroid
+        assert a.last_centroid == b.last_centroid
+    # the codec actually engaged and shipped fewer bytes
+    assert on.metrics.wire_bytes < off.metrics.wire_bytes
