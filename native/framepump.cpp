@@ -361,4 +361,77 @@ void swt_avi_close(void* handle) {
   delete a;
 }
 
+// ---------------------------------------------------------------------------
+// delta4 wire-codec encoder (io/wirecodec.py's hot loop, off the GIL).
+//
+// gray: (n, p) uint8 frames, flattened window batch.  Residual stream is
+// r[f] = gray[f + p] - gray[f] (uint8 wraparound) for f in [0, (n-1)*p);
+// nibble = min((r + 7) mod 256, 15), escapes (nibble 15) carry r in a sparse
+// (index, value) side stream.  Byte k of `packed` holds nibbles 2k | 2k+1<<4
+// — bit-identical to the numpy encoder, threads partitioned on byte ranges
+// so frame boundaries need no alignment.
+// Returns the escape count, or -1 when it exceeds escape_cap (caller ships
+// the batch raw).  esc_idx is padded with m = (n-1)*p (out-of-range =>
+// dropped by the device scatter).
+// ---------------------------------------------------------------------------
+int64_t swt_encode_delta4(const uint8_t* gray, int64_t n, int64_t p,
+                          uint8_t* packed, int32_t* esc_idx, uint8_t* esc_val,
+                          int64_t escape_cap, int n_threads) {
+  const int64_t m = (n - 1) * p;          // residual count
+  if (m <= 0) return -1;
+  const int64_t n_bytes = (m + 1) / 2;
+  n_threads = std::max(1, std::min<int>(n_threads, 16));
+  const int64_t per = (n_bytes + n_threads - 1) / n_threads;
+
+  std::vector<std::vector<int32_t>> t_idx(n_threads);
+  std::vector<std::vector<uint8_t>> t_val(n_threads);
+  auto work = [&](int t) {
+    const int64_t lo = t * per, hi = std::min(n_bytes, lo + per);
+    auto& idx = t_idx[t];
+    auto& val = t_val[t];
+    for (int64_t k = lo; k < hi; ++k) {
+      uint8_t nib[2] = {0, 0};
+      for (int half = 0; half < 2; ++half) {
+        const int64_t f = 2 * k + half;
+        if (f >= m) break;                 // odd-m pad nibble stays 0
+        const uint8_t r =
+            static_cast<uint8_t>(gray[f + p] - gray[f]);  // wraparound
+        const uint8_t biased = static_cast<uint8_t>(r + 7);
+        if (biased > 14) {
+          nib[half] = 15;
+          idx.push_back(static_cast<int32_t>(f));
+          val.push_back(r);
+        } else {
+          nib[half] = biased;
+        }
+      }
+      packed[k] = static_cast<uint8_t>(nib[0] | (nib[1] << 4));
+    }
+  };
+  if (n_threads == 1) {
+    work(0);
+  } else {
+    std::vector<std::thread> pool;
+    for (int t = 0; t < n_threads; ++t) pool.emplace_back(work, t);
+    for (auto& th : pool) th.join();
+  }
+
+  int64_t total = 0;
+  for (auto& v : t_idx) total += static_cast<int64_t>(v.size());
+  if (total > escape_cap) return -1;
+  int64_t at = 0;                          // threads cover ascending ranges,
+  for (int t = 0; t < n_threads; ++t) {    // so concatenation keeps the
+    for (size_t i = 0; i < t_idx[t].size(); ++i) {  // numpy row-major order
+      esc_idx[at] = t_idx[t][i];
+      esc_val[at] = t_val[t][i];
+      ++at;
+    }
+  }
+  for (int64_t i = total; i < escape_cap; ++i) {
+    esc_idx[i] = static_cast<int32_t>(m);
+    esc_val[i] = 0;
+  }
+  return total;
+}
+
 }  // extern "C"

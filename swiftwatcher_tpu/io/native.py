@@ -85,6 +85,12 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.swt_avi_read_bgr.restype = ctypes.c_int
         lib.swt_avi_close.argtypes = [ctypes.c_void_p]
+        lib.swt_encode_delta4.argtypes = [
+            u8p, ctypes.c_int64, ctypes.c_int64, u8p,
+            ctypes.POINTER(ctypes.c_int32), u8p,
+            ctypes.c_int64, ctypes.c_int,
+        ]
+        lib.swt_encode_delta4.restype = ctypes.c_int64
         _lib = lib
         return _lib
 
@@ -193,6 +199,28 @@ class AVIReader:
             self.close()
         except Exception:
             pass
+
+
+def encode_delta4(gray2d: np.ndarray, escape_cap: int, n_threads: int = 4):
+    """Threaded C twin of io/wirecodec.py's numpy encoder (bit-identical).
+
+    gray2d: (N, P) uint8 contiguous flattened frames.  Returns
+    (packed, esc_idx, esc_val) or None on escape overflow."""
+    lib = _load()
+    assert lib is not None
+    N, P = gray2d.shape
+    m = (N - 1) * P
+    packed = np.empty((m + 1) // 2, np.uint8)
+    esc_idx = np.empty(escape_cap, np.int32)
+    esc_val = np.empty(escape_cap, np.uint8)
+    rc = lib.swt_encode_delta4(
+        _u8ptr(gray2d), N, P, _u8ptr(packed),
+        esc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8ptr(esc_val), escape_cap, n_threads,
+    )
+    if rc < 0:
+        return None
+    return packed, esc_idx, esc_val
 
 
 def decode_window_gray(

@@ -71,6 +71,21 @@ def encode_delta4(gray: np.ndarray, escape_cap: int) -> Optional[WirePacket]:
     if N < 2:
         return None
     flat = gray.reshape(N, H * W)
+    if flat.flags.c_contiguous:
+        from . import native as _native
+
+        if _native.is_available():      # threaded C twin, bit-identical
+            enc = _native.encode_delta4(flat, escape_cap)
+            if enc is None:
+                return None
+            packed, esc_idx, esc_val = enc
+            return WirePacket(
+                first=np.ascontiguousarray(gray[0]),
+                packed=packed,
+                esc_idx=esc_idx,
+                esc_val=esc_val,
+                shape=(N, H, W),
+            )
     delta = flat[1:] - flat[:-1]                     # uint8 wraparound
     # centered residual in [-7, 7] <=> (delta + 7) mod 256 in [0, 14], so the
     # whole nibble map stays in uint8: values > 14 are escapes, clamped to 15

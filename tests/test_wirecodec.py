@@ -75,6 +75,50 @@ def test_single_frame_returns_none(rng):
     assert encode_delta4(rng.integers(0, 256, (1, 8, 8), np.uint8), 64) is None
 
 
+def test_native_encoder_matches_numpy(rng):
+    """The threaded C encoder (native/framepump.cpp swt_encode_delta4) must
+    be bit-identical to the numpy branch, escapes in the same order."""
+    from swiftwatcher_tpu.io import native
+
+    if not native.is_available():
+        pytest.skip("native library unavailable")
+    for _ in range(8):
+        N = int(rng.integers(2, 9))
+        H = int(rng.integers(1, 31))
+        W = int(rng.integers(1, 31))
+        gray = rng.integers(0, 256, size=(N, H, W), dtype=np.uint8)
+        cap = gray.size
+
+        # numpy branch, replicated inline (the public encode_delta4 prefers
+        # the native path when available, which is what we compare against)
+        flat = gray.reshape(N, H * W)
+        delta = flat[1:] - flat[:-1]
+        nib0 = delta + np.uint8(7)
+        esc = nib0 > 14
+        flatn = np.minimum(nib0, np.uint8(15)).reshape(-1)
+        M = flatn.size
+        if M % 2:
+            flatn = np.append(flatn, np.uint8(0))
+        pairs = flatn.reshape(-1, 2)
+        ref_packed = pairs[:, 0] | (pairs[:, 1] << 4)
+        ref_idx = np.full(cap, M, np.int32)
+        ref_val = np.zeros(cap, np.uint8)
+        n_esc = int(np.count_nonzero(esc))
+        if n_esc:
+            where = np.flatnonzero(esc).astype(np.int32)
+            ref_idx[:n_esc] = where
+            ref_val[:n_esc] = delta.reshape(-1)[where]
+
+        packed, idx, val = native.encode_delta4(flat, cap)
+        np.testing.assert_array_equal(packed, ref_packed)
+        np.testing.assert_array_equal(idx, ref_idx)
+        np.testing.assert_array_equal(val, ref_val)
+
+    # overflow contract
+    noisy = rng.integers(0, 256, size=(6, 16, 16), dtype=np.uint8)
+    assert native.encode_delta4(noisy.reshape(6, -1), 2) is None
+
+
 def test_packed_localization_matches_raw(rng):
     """decode fused ahead of the localization program == raw gray path."""
     import jax
