@@ -31,6 +31,13 @@ def main(argv=None) -> int:
     cfg = config_with_overrides(args.set)
     filepaths = args.filepaths if args.filepaths else ui.select_filepaths()
 
+    mesh = None
+    if args.mesh:
+        from .parallel.mesh import make_mesh
+
+        data, _, model = args.mesh.partition("x")
+        mesh = make_mesh(shape=(int(data), int(model or 1)))
+
     segment_filter = None
     if args.classify:
         from .models.classifier import SqueezeNetSegmentFilter
@@ -62,6 +69,7 @@ def main(argv=None) -> int:
             export_segments_dir=(out_dirs[i] / "segments") if args.export else None,
             tracker_impl=args.tracker,
             profile_dir=(out_dirs[i] / "profile") if args.profile else None,
+            mesh=mesh,
         )
 
     if args.parallel_videos > 1:

@@ -162,6 +162,115 @@ def sharded_localize_windows(
     return body(crops)
 
 
+def sharded_localize_windows_gray(
+    gray: jnp.ndarray,
+    mesh: Mesh,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_bbox: bool = False,
+):
+    """Sharded localization for pre-grayscaled windows and ARBITRARY crop
+    geometry: the runner's mesh mode (run_video(mesh=...)).
+
+    Unlike `sharded_localize_windows` (which shards the crop's width axis
+    and therefore needs W % model == 0), this variant shards the FLAT pixel
+    axis of the RPCA iterate, zero-padding it up to a multiple of the
+    'model' axis — zero pixel columns are exactly IALM-neutral (covered by
+    tests), and the padding is sliced off before the stencil stages, so any
+    chimney geometry shards without perturbing parity.  The stencil/CCL/
+    table work is divided across 'model' by frame slices after the motion
+    all_gather, exactly as in the width-sharded path.
+
+    gray: (B, T, H, W) uint8 with B % mesh.shape['data'] == 0.
+    Returns (RegionTable (B, T, 256), iters (B,)).
+    """
+    B, T, H, W = gray.shape
+    dtype = jnp.dtype(cfg.rpca_dtype)
+    model = mesh.shape["model"]
+    P_full = H * W
+    P_pad = -(-P_full // model) * model
+    warm = cfg.rpca_warm_basis
+    fused = (
+        cfg.use_pallas_rpca
+        and not warm
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32
+    )
+
+    X = gray.reshape(B, T, P_full)
+    if P_pad != P_full:
+        X = jnp.pad(X, ((0, 0), (0, 0), (0, P_pad - P_full)))
+
+    @functools.partial(
+        shard_map,
+        mesh=mesh,
+        in_specs=P("data", None, "model"),
+        out_specs=(
+            RegionTable(
+                **{f.name: P("data") for f in dataclasses.fields(RegionTable)}
+            ),
+            P("data"),
+        ),
+        check_vma=False,
+    )
+    def body(local):
+        b, t, p_local = local.shape
+        m = mesh.shape["model"]
+        Xl = local.astype(dtype)
+        if fused:
+            from ..ops.pallas.ialm_front import TILE
+
+            Pp = -(-p_local // TILE) * TILE
+            if Pp != p_local:
+                Xl = jnp.pad(Xl, ((0, 0), (0, 0), (0, Pp - p_local)))
+        x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
+        state_sd = (
+            "bfloat16"
+            if (cfg.rpca_state_bf16 and dtype == jnp.float32)
+            else None
+        )
+        _, E, iters = ialm_rpca_batched(
+            Xl,
+            lmbda=cfg.rpca_lambda,
+            tol=cfg.rpca_tol,
+            max_iter=cfg.rpca_max_iter,
+            rho=cfg.rpca_rho,
+            mu_cap=cfg.rpca_mu_cap,
+            axis_name="model",
+            fused_front=fused,
+            warm_basis=warm,
+            x_store_dtype=x_sd,
+            store_y_dtype=state_sd,
+            store_ae_dtype=state_sd,
+        )
+        motion_local = jnp.clip(-E[..., :p_local], 0.0, 255.0).astype(jnp.uint8)
+        # reassemble the flat pixel axis, drop the padding, then divide the
+        # stencil/CCL/table work across 'model' by frame slices
+        motion = jax.lax.all_gather(motion_local, "model", axis=2, tiled=True)
+        bt = b * t
+        flat = motion[..., :P_full].reshape(bt, H, W)
+        btp = -(-bt // m) * m
+        if btp != bt:
+            flat = jnp.pad(flat, ((0, btp - bt), (0, 0), (0, 0)))
+        k = btp // m
+        mine = jax.lax.dynamic_slice_in_dim(
+            flat, jax.lax.axis_index("model") * k, k, axis=0
+        )
+        filtered = motion_postfilter(mine, cfg)
+        labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
+        table = region_tables(
+            wrap_labels_uint8(labels, cfg.label_modulus), with_bbox=with_bbox
+        )
+        table = jax.tree.map(
+            lambda a: jax.lax.all_gather(a, "model", axis=0, tiled=True)[
+                :bt
+            ].reshape(b, t, *a.shape[1:]),
+            table,
+        )
+        return table, iters
+
+    return body(X)
+
+
 def sharded_train_step(mesh: Mesh, lr: float = 1e-3):
     """Build a pjit'd classifier-head train step over the mesh.
 

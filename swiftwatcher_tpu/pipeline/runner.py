@@ -77,6 +77,7 @@ def run_video(
     checkpoint_interval_batches: int = 16,
     tracker_impl: str = "host",
     profile_dir: Optional[Path] = None,
+    mesh=None,
 ) -> VideoResult:
     """Count swifts in one video.
 
@@ -90,6 +91,12 @@ def run_video(
     checkpoint_path: when set, tracker state + frame cursor are serialized
     there every checkpoint_interval_batches, and a pre-existing checkpoint
     at that path resumes the run (no reference counterpart; SURVEY.md §5).
+    mesh: optional jax.sharding.Mesh ('data', 'model').  Localization runs
+    through parallel.mesh.sharded_localize_windows_gray — windows dp-sharded
+    over 'data', RPCA pixels sp-sharded over 'model' (flat-axis padding, so
+    ANY chimney geometry shards with exact parity).  Requires
+    cfg.batch_windows % mesh.shape['data'] == 0.  Tracking/events stay a
+    sequential consumer of the tiny tables, as in single-chip mode.
     tracker_impl: "host" (scipy LAP — the strict-parity path) or "device"
     (the whole tracker as one lax.scan per batch, pipeline/tracking_jax.py;
     only segment tables' scalars ever leave the device).  Device mode does
@@ -185,26 +192,49 @@ def run_video(
         def annotate(_name):
             return contextlib.nullcontext()
 
+    if mesh is not None:
+        if cfg.batch_windows % mesh.shape["data"] != 0:
+            raise ValueError(
+                f"batch_windows={cfg.batch_windows} must divide over the "
+                f"mesh 'data' axis ({mesh.shape['data']})"
+            )
+        from ..parallel.mesh import sharded_localize_windows_gray
+
+        @jax.jit
+        def _localize_sharded(g):
+            return sharded_localize_windows_gray(
+                g, mesh, cfg, with_bbox=needs_frames
+            )
+
+    def _localize(gray_dev):
+        from ..io.wirecodec import WirePacket
+
+        if isinstance(gray_dev, WirePacket):
+            from ..io.wirecodec import decode_delta4
+            from .window import localize_windows_packed
+
+            N, H, W = gray_dev.shape
+            T = cfg.window_size
+            if mesh is not None:
+                g = decode_delta4(
+                    gray_dev.first, gray_dev.packed,
+                    gray_dev.esc_idx, gray_dev.esc_val, N, H, W,
+                )
+                return _localize_sharded(g.reshape(N // T, T, H, W))
+            return localize_windows_packed(
+                gray_dev.first, gray_dev.packed,
+                gray_dev.esc_idx, gray_dev.esc_val,
+                shape=(N // T, T, H, W), cfg=cfg,
+                with_bbox=needs_frames,
+            )
+        if mesh is not None:
+            return _localize_sharded(gray_dev)
+        return localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames)
+
     def dispatch(batch):
         gray_dev, wins, cursor = batch
         with annotate("localize_dispatch"):
-            from ..io.wirecodec import WirePacket
-
-            if isinstance(gray_dev, WirePacket):
-                from .window import localize_windows_packed
-
-                N, H, W = gray_dev.shape
-                T = cfg.window_size
-                table, iters = localize_windows_packed(
-                    gray_dev.first, gray_dev.packed,
-                    gray_dev.esc_idx, gray_dev.esc_val,
-                    shape=(N // T, T, H, W), cfg=cfg,
-                    with_bbox=needs_frames,
-                )
-            else:
-                table, iters = localize_windows_gray(
-                    gray_dev, cfg, with_bbox=needs_frames
-                )
+            table, iters = _localize(gray_dev)
         if profiling:
             # forced-completion timing: the scalar readback bounds the true
             # device time of the localization program (block_until_ready is

@@ -42,6 +42,13 @@ def parse_args(argv=None):
         "<video dir>/<stem>/profile (serializes the pipeline while on)",
     )
     parser.add_argument(
+        "--mesh", default=None, metavar="DATAxMODEL",
+        help="run localization over a device mesh, e.g. --mesh 4x2 = "
+        "windows data-parallel over 4 device groups, RPCA pixels "
+        "sequence-parallel over 2 (requires that many devices; "
+        "batch_windows must divide the data axis)",
+    )
+    parser.add_argument(
         "--set", action="append", default=[], metavar="FIELD=VALUE",
         help="override a PipelineConfig field (repeatable), e.g. "
         "--set rpca_tol=0.002 --set batch_windows=16",

@@ -50,6 +50,57 @@ def test_sharded_localization_matches_single(rng, mesh, cpu_devices):
     np.testing.assert_array_equal(np.asarray(table_s.sum_x), np.asarray(table_1.sum_x))
 
 
+def test_sharded_gray_odd_width_matches_single(rng, mesh, cpu_devices):
+    """The flat-pixel-sharded gray variant (the runner's mesh mode) must be
+    table-exact for a crop whose pixel count does NOT divide the 'model'
+    axis (exercises the IALM-neutral zero padding)."""
+    from swiftwatcher_tpu.parallel.mesh import sharded_localize_windows_gray
+    from swiftwatcher_tpu.pipeline.window import localize_windows_gray
+
+    wins = []
+    for k in range(4):
+        g = make_synthetic_window(rng, T=21, H=27, W=61, n_dots=1 + k % 2)
+        wins.append(g)
+    gray = np.stack(wins)  # (4, 21, 27, 61): P = 1647, odd vs model=2
+
+    table_s, iters_s = jax.jit(
+        lambda g: sharded_localize_windows_gray(g, mesh, DEFAULT_CONFIG)
+    )(jnp.asarray(gray))
+    table_1, iters_1 = localize_windows_gray(jnp.asarray(gray), DEFAULT_CONFIG)
+
+    assert np.abs(np.asarray(iters_s) - np.asarray(iters_1)).max() <= 1
+    for field in ("valid", "area", "sum_y", "sum_x"):
+        np.testing.assert_array_equal(
+            np.asarray(getattr(table_s, field)),
+            np.asarray(getattr(table_1, field)),
+            err_msg=field,
+        )
+
+
+def test_run_video_mesh_mode_matches_single(mesh, cpu_devices):
+    """run_video(mesh=...) must reproduce the single-device run event for
+    event on the synthetic clip (counts, frame numbers, centroids)."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=2, n_frames=63, n_entering=2, n_crossing=1)
+    import dataclasses as _dc
+
+    cfg = _dc.replace(DEFAULT_CONFIG, batch_windows=4)  # 4 % data(4) == 0
+    base = run_video(ArraySource(video.frames, fps=video.fps), video.corners, cfg)
+    sharded = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg, mesh=mesh
+    )
+    assert sharded.total_predicted == base.total_predicted
+    assert sharded.total_rejected == base.total_rejected
+    assert len(sharded.events) == len(base.events)
+    for a, b in zip(sharded.events, base.events):
+        assert a.frame_number == b.frame_number
+        assert a.first_centroid == b.first_centroid
+        assert a.last_centroid == b.last_centroid
+
+
 def test_sharded_train_step_learns(rng, mesh):
     params = random_params(rng)
     trunk, head, opt_state, step, place = init_sharded_training(mesh, params, lr=1e-2)
