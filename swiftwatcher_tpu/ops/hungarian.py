@@ -23,13 +23,23 @@ _INF = jnp.float32(jnp.inf)
 
 
 @jax.jit
-def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
+def solve_lap(cost: jnp.ndarray, skip: jnp.ndarray | None = None) -> jnp.ndarray:
     """col4row (N,) int32: the column assigned to each row of cost (N, N).
 
     Rows are processed in order; every row/column is assigned (perfect
     matching on the square matrix).  float32 costs; rows/cols meant to be
     excluded should carry a large-but-finite cost structure.
-    """
+
+    skip: optional (N,) bool marking PADDING rows whose diagonal entry is 0
+    and whose every other entry (and every other row's entry in column i) is
+    large.  Such rows are pre-assigned to their diagonal and their augment
+    step skipped entirely.  This is exact, not approximate: any optimal
+    matching must put these rows on their free diagonal, and JV-processing
+    such a row is a no-op on the duals (its Dijkstra pops the zero-reduced-
+    cost diagonal immediately with min_val 0), so the remaining rows see
+    bit-identical state to the unskipped solve.  The tracking scan uses this
+    to make the per-frame LAP cost scale with REAL segments instead of the
+    padded capacity."""
     N = cost.shape[0]
     cost = cost.astype(jnp.float32)
 
@@ -107,9 +117,24 @@ def solve_lap(cost: jnp.ndarray) -> jnp.ndarray:
 
     u0 = jnp.zeros((N,), jnp.float32)
     v0 = jnp.zeros((N,), jnp.float32)
-    row4col0 = jnp.full((N,), -1, jnp.int32)
-    col4row0 = jnp.full((N,), -1, jnp.int32)
-    (_, _, _, col4row), _ = jax.lax.scan(
-        augment_row, (u0, v0, row4col0, col4row0), jnp.arange(N, dtype=jnp.int32)
-    )
+    rows = jnp.arange(N, dtype=jnp.int32)
+    if skip is None:
+        row4col0 = jnp.full((N,), -1, jnp.int32)
+        col4row0 = jnp.full((N,), -1, jnp.int32)
+        step = augment_row
+    else:
+        # pre-assign padding rows to their zero diagonal (see docstring)
+        row4col0 = jnp.where(skip, rows, -1)
+        col4row0 = jnp.where(skip, rows, -1)
+
+        def step(carry, cur_row):
+            return jax.lax.cond(
+                skip[cur_row],
+                lambda c, _r: (c, None),
+                augment_row,
+                carry,
+                cur_row,
+            )
+
+    (_, _, _, col4row), _ = jax.lax.scan(step, (u0, v0, row4col0, col4row0), rows)
     return col4row

@@ -117,13 +117,16 @@ def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
     return cost
 
 
-def _step(carry, inputs, roi_mask, cfg: PipelineConfig):
+def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
     state, events = carry
     cy, cx, valid, fn, active = inputs
     K = state.cy.shape[0]
 
     cost = _cost_matrix(state, cy, cx, valid, cfg)
-    col4row = solve_lap(cost)
+    # padding rows/cols sit on a free diagonal: pre-assign them so the LAP's
+    # augment cost scales with the REAL segment count, not the capacity
+    # (exact — see solve_lap's docstring)
+    col4row = solve_lap(cost, skip=~jnp.concatenate([state.valid, valid]))
 
     match_col = col4row[:K] - K                                   # (K,)
     prev_match = jnp.where(
@@ -192,6 +195,43 @@ def _step(carry, inputs, roi_mask, cfg: PipelineConfig):
         carry,
     )
     return (new_state, events), None
+
+
+def _step(carry, inputs, roi_mask, cfg: PipelineConfig):
+    """Per-frame tracker step with an empty-frame fast path.
+
+    Surveillance footage is mostly empty sky: when the frame carries no
+    segments AND no track survives from the previous frame, the full step
+    (cost matrix, LAP, event scatter) reduces to 'reset the state to this
+    frame' — a lax.cond skips all of it.  The full branch is bit-identical
+    to always running _step_full (with nothing valid, it computes exactly
+    this reset)."""
+    state, events = carry
+    cy, cx, valid, fn, active = inputs
+
+    def empty(carry, inputs):
+        state, events = carry
+        cy, cx, valid, fn, active = inputs
+        K = state.cy.shape[0]
+        zero = jnp.zeros((K,), jnp.float32)
+        st = TrackState(
+            cy=cy, cx=cx, valid=valid,
+            hist_len=jnp.zeros((K,), jnp.int32),
+            first_cy=zero, first_cx=zero, fn=fn,
+        )
+        st = jax.tree.map(
+            lambda new, old: jnp.where(active, new, old), st, state
+        )
+        return (st, events), None
+
+    any_work = jnp.any(state.valid) | jnp.any(valid)
+    return jax.lax.cond(
+        any_work,
+        lambda c, i: _step_full(c, i, roi_mask, cfg),
+        empty,
+        carry,
+        inputs,
+    )
 
 
 @functools.partial(jax.jit, static_argnames=("cfg",))

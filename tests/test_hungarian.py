@@ -50,6 +50,40 @@ def test_tracking_like_matrix(rng):
     assert ours[1] == cols[1] == n_prev + 0
 
 
+def test_skip_padding_matches_full_solve(rng):
+    """solve_lap(skip=...) on tracker-structured matrices must equal the
+    unskipped solve exactly (identical col4row, not just identical cost):
+    padding rows are forced onto their free diagonal in any optimum, and
+    JV-processing them is a dual no-op."""
+    K = 12
+    n = 2 * K
+    for trial in range(10):
+        n_prev = int(rng.integers(0, 5))
+        n_curr = int(rng.integers(0, 5))
+        pv = np.zeros(K, bool)
+        pv[:n_prev] = True
+        cv = np.zeros(K, bool)
+        cv[:n_curr] = True
+        rv = np.concatenate([pv, cv])
+        cost = np.where(rv[:, None] & rv[None, :], 1.0 + 1.19e-7, 1e9).astype(
+            np.float32
+        )
+        # random match block
+        match = (rng.random((K, K)) * 2).astype(np.float32)
+        blk = cost[:K, K:]
+        cost[:K, K:] = np.where(pv[:, None] & cv[None, :], match, blk)
+        diag = np.where(rv, 1.0, 0.0).astype(np.float32)
+        np.fill_diagonal(cost, diag)
+
+        full = np.asarray(solve_lap(cost))
+        skipped = np.asarray(solve_lap(cost, skip=~rv))
+        np.testing.assert_array_equal(full, skipped, err_msg=f"trial {trial}")
+        rows, cols = linear_sum_assignment(cost.astype(np.float64))
+        np.testing.assert_allclose(
+            cost[np.arange(n), skipped].sum(), cost[rows, cols].sum(), rtol=1e-5
+        )
+
+
 def test_large_finite_blocks(rng):
     # BIG impossible cells: matching row k -> col 8+k would FORCE row 8+k
     # onto a BIG cell, so the optimum is all-diagonal.  (This is why the
