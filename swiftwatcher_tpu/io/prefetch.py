@@ -146,9 +146,14 @@ class WindowPrefetcher:
         payload = None
         if self._codec_on:
             T, h, w = gray.shape[1:]
-            pkt = encode_delta4(
-                gray.reshape(-1, h, w), cfg.wire_escape_cap
+            # Escape capacity scales with the batch (1/16 of the residual
+            # count, floored) so the fixed side-stream overhead can't
+            # dominate small batches; cfg.wire_escape_cap is the ceiling.
+            cap = min(
+                cfg.wire_escape_cap,
+                max(1024, (gray.size - h * w) // 16),
             )
+            pkt = encode_delta4(gray.reshape(-1, h, w), cap)
             if pkt is not None:          # escape overflow -> raw fallback
                 payload = device_put_packet(pkt)  # async upload starts here
                 self.wire_bytes += pkt.nbytes

@@ -169,3 +169,65 @@ def test_e2e_counts_transport_invariant():
         assert a.last_centroid == b.last_centroid
     # the codec actually engaged and shipped fewer bytes
     assert on.metrics.wire_bytes < off.metrics.wire_bytes
+
+
+def test_e2e_codec_with_device_tracker_and_mesh():
+    """Feature-interaction matrix: delta4 transport x device tracker x
+    runner mesh mode must all agree with the plain host run."""
+    import jax
+
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU mesh); running on real hardware")
+    from swiftwatcher_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, shape=(4, 2))
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    cfg0 = dataclasses.replace(
+        DEFAULT_CONFIG, batch_windows=4, wire_codec="off"
+    )
+    base = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg0
+    )
+    cfg1 = dataclasses.replace(cfg0, wire_codec="delta4")
+    combo = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg1,
+        tracker_impl="device", mesh=mesh,
+    )
+    assert combo.total_predicted == base.total_predicted
+    assert combo.total_rejected == base.total_rejected
+    assert len(combo.events) == len(base.events)
+    assert combo.metrics.wire_bytes < base.metrics.wire_bytes
+
+
+def test_checkpoint_resume_with_codec(tmp_path):
+    """delta4 transport composes with checkpoint/resume: a run interrupted
+    mid-video and resumed equals the uninterrupted run."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=4, n_frames=63, n_entering=2, n_crossing=1)
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, wire_codec="delta4", batch_windows=1
+    )
+    full = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg
+    )
+
+    ckpt = tmp_path / "state.ckpt"
+    src = ArraySource(video.frames, fps=video.fps)
+    src.end_frame = 42                         # stop one third short
+    src.total_frames = 42
+    run_video(src, video.corners, cfg, checkpoint_path=ckpt,
+              checkpoint_interval_batches=1)
+    resumed = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        checkpoint_path=ckpt, checkpoint_interval_batches=1,
+    )
+    assert resumed.total_predicted == full.total_predicted
+    assert resumed.total_rejected == full.total_rejected
+    assert len(resumed.events) == len(full.events)
