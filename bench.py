@@ -95,6 +95,72 @@ def resident_fps(cfg, video, frames=13440):
     return n_batches * B * T / elapsed
 
 
+def resident_tracked_fps(cfg, video, frames=13440):
+    """On-chip throughput of the FULL pipeline — localization + the
+    on-device tracking scan — with device-resident windows.  This is the
+    number a real (>10 GB/s) host link's e2e approaches with
+    --tracker device: both stages share the chip, so they serialize."""
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.geometry import (
+        crop_region_from_corners,
+        roi_crop_region_from_corners,
+    )
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+    from swiftwatcher_tpu.ops.roi_mask import generate_roi_mask
+    from swiftwatcher_tpu.pipeline.window import localize_windows_gray
+    from swiftwatcher_tpu.pipeline.tracking_jax import (
+        compact_tables,
+        empty_state,
+        track_window,
+    )
+
+    crop_region = crop_region_from_corners(video.corners, cfg)
+    (x1, y1), (x2, y2) = crop_region
+    roi_region = roi_crop_region_from_corners(video.corners, cfg)
+    roi = jax.device_put(
+        np.asarray(
+            generate_roi_mask(video.frames[0], roi_region, crop_region, cfg)
+        )
+    )
+    B, T = cfg.batch_windows, cfg.window_size
+    n_src = video.frames.shape[0]
+    wins = [
+        bgr_to_gray_host(video.frames[s : s + T, y1:y2, x1:x2, :])
+        for s in ((2 * b) % (n_src - T) for b in range(B))
+    ]
+    batch = jax.device_put(np.stack(wins))
+    fns = jnp.arange(B * T, dtype=jnp.int32)
+    active = jnp.ones((B * T,), bool)
+
+    @jax.jit
+    def run_k(b, k):
+        def body(_, carry):
+            st, acc = carry
+            bi = b + jnp.minimum(acc, 0).astype(b.dtype)
+            table, iters = localize_windows_gray(bi, cfg)
+            cy, cx, kvalid, _ = compact_tables(table, cfg.max_tracks)
+            st, ev = track_window(
+                st, roi,
+                cy.reshape(B * T, -1), cx.reshape(B * T, -1),
+                kvalid.reshape(B * T, -1), fns, cfg, active=active,
+            )
+            s = ev.count + jnp.sum(iters) + jnp.sum(table.area)
+            return st, jnp.minimum(s, 1)
+
+        st0 = empty_state(cfg.max_tracks)
+        _, out = jax.lax.fori_loop(0, k, body, (st0, jnp.int32(0)))
+        return out
+
+    int(run_k(batch, jnp.int32(1)))  # compile + warm
+    n_batches = max(frames // (B * T), 1)
+    start = time.perf_counter()
+    out = int(run_k(batch, jnp.int32(n_batches)))
+    elapsed = time.perf_counter() - start
+    assert out >= 0
+    return n_batches * B * T / elapsed
+
+
 def sharded_resident_fps(cfg, video, frames=6720):
     """On-chip throughput of the SHARDED localization path over a mesh of
     all available devices (on this rig: one chip -> a (1, 1) mesh, which
@@ -229,6 +295,7 @@ def main():
     import dataclasses as _dc
 
     r_fps = resident_fps(_dc.replace(cfg, batch_windows=64), video, frames=13440)
+    rt_fps = resident_tracked_fps(_dc.replace(cfg, batch_windows=32), video)
     s_fps, mesh_shape = sharded_resident_fps(
         _dc.replace(cfg, batch_windows=64), video
     )
@@ -253,6 +320,7 @@ def main():
                 "vs_baseline": round(fps / BASELINE_FPS, 4),
                 "resident_frames_per_sec": round(r_fps, 2),
                 "resident_vs_baseline": round(r_fps / BASELINE_FPS, 4),
+                "resident_tracked_frames_per_sec": round(rt_fps, 2),
                 "sharded_resident_frames_per_sec": round(s_fps, 2),
                 "sharded_mesh": list(mesh_shape),
                 "note": (
@@ -260,10 +328,12 @@ def main():
                     f"(raw crop is {crop_bytes} B/frame; the lossless "
                     f"delta4 codec engages on slow links) = {wire_mbps:.1f} "
                     "MB/s against a ~36 MB/s measured tunnel (a real v5e "
-                    "host link is >10 GB/s, where e2e ~= resident); "
-                    "resident = on-chip pipeline throughput; "
-                    "sharded_resident = same windows through the shard_map "
-                    "path on the full device mesh"
+                    "host link is >10 GB/s, where e2e approaches "
+                    "resident_tracked); resident = on-chip localization "
+                    "throughput; resident_tracked = localization + the "
+                    "on-device tracking scan (the full pipeline's chip "
+                    "rate); sharded_resident = same windows through the "
+                    "shard_map path on the full device mesh"
                 ),
             }
         )
