@@ -121,20 +121,31 @@ def solve_lap(cost: jnp.ndarray, skip: jnp.ndarray | None = None) -> jnp.ndarray
     if skip is None:
         row4col0 = jnp.full((N,), -1, jnp.int32)
         col4row0 = jnp.full((N,), -1, jnp.int32)
-        step = augment_row
-    else:
-        # pre-assign padding rows to their zero diagonal (see docstring)
-        row4col0 = jnp.where(skip, rows, -1)
-        col4row0 = jnp.where(skip, rows, -1)
+        (_, _, _, col4row), _ = jax.lax.scan(
+            augment_row, (u0, v0, row4col0, col4row0), rows
+        )
+        return col4row
 
-        def step(carry, cur_row):
-            return jax.lax.cond(
-                skip[cur_row],
-                lambda c, _r: (c, None),
-                augment_row,
-                carry,
-                cur_row,
-            )
+    # Pre-assign padding rows to their zero diagonal (see docstring), then
+    # augment ONLY the valid rows, in ascending index order (stable argsort),
+    # via a dynamic-trip while_loop: the per-frame cost becomes O(real
+    # segments), not O(capacity).  Sequential-loop overhead dominates these
+    # tiny LAPs on TPU, so skipping steps (not just their work) matters.
+    row4col0 = jnp.where(skip, rows, -1)
+    col4row0 = jnp.where(skip, rows, -1)
+    valid_order = jnp.argsort(skip, stable=True)        # valid rows first
+    n_valid = jnp.sum(~skip).astype(jnp.int32)
 
-    (_, _, _, col4row), _ = jax.lax.scan(step, (u0, v0, row4col0, col4row0), rows)
+    def w_cond(s):
+        i, _ = s
+        return i < n_valid
+
+    def w_body(s):
+        i, carry = s
+        carry, _ = augment_row(carry, valid_order[i])
+        return i + 1, carry
+
+    _, (_, _, _, col4row) = jax.lax.while_loop(
+        w_cond, w_body, (jnp.int32(0), (u0, v0, row4col0, col4row0))
+    )
     return col4row
