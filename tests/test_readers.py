@@ -33,6 +33,51 @@ def test_hdf5_source_roundtrip(tmp_path, rng):
     np.testing.assert_array_equal(f, video.frames[0])  # PNG is lossless
 
 
+def test_make_h5_cache_tool(tmp_path):
+    """tools/make_h5_cache.py writes the exact container HDF5Source expects;
+    the cached frames equal a JPEG encode/decode of the originals, and the
+    cache drives the pipeline to the same counts as the decoded frames."""
+    import sys
+    from pathlib import Path
+
+    sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+    from make_h5_cache import make_cache
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    npy = tmp_path / "clip.npy"
+    np.save(npy, video.frames)
+    out = tmp_path / "clip.h5"
+    n = make_cache(npy, out, quality=95, status=False)
+    assert n == 63
+
+    src = HDF5Source(out)
+    assert src.fps == video.fps and src.total_frames == 63
+    f, num, _ = src.get_frame()
+    ref = cv2.imdecode(
+        cv2.imencode(".jpg", video.frames[0], [cv2.IMWRITE_JPEG_QUALITY, 95])[1],
+        cv2.IMREAD_COLOR,
+    )
+    np.testing.assert_array_equal(f, ref)
+
+    # e2e: the cache equals running on the JPEG-decoded frames directly
+    decoded = np.stack([
+        cv2.imdecode(
+            cv2.imencode(".jpg", fr, [cv2.IMWRITE_JPEG_QUALITY, 95])[1],
+            cv2.IMREAD_COLOR,
+        )
+        for fr in video.frames
+    ])
+    base = run_video(
+        ArraySource(decoded, fps=video.fps), video.corners, DEFAULT_CONFIG
+    )
+    cached = run_video(HDF5Source(out), video.corners, DEFAULT_CONFIG)
+    assert cached.total_predicted == base.total_predicted
+    assert cached.total_rejected == base.total_rejected
+
+
 def test_inclusive_end_duplicates_last_frame(tmp_path):
     video = make_video(seed=1, n_frames=5, H=40, W=60, n_entering=0, n_crossing=0)
     p = tmp_path / "clip.h5"
