@@ -38,6 +38,30 @@ from swiftwatcher_tpu.pipeline.runner import run_video
 BASELINE_FPS = 2000.0
 
 
+def _window_batch(cfg, video, to_gray: bool, w_use=None):
+    """Device-resident (B, T, ...) window batch with a distinct shifted
+    start per batch slot (realistic convergence variety — the IALM
+    while_loop runs to the slowest window).  Shared by all resident
+    benches; to_gray converts crops host-side as the product path does."""
+    import jax
+
+    from swiftwatcher_tpu.geometry import crop_region_from_corners
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+    (x1, y1), (x2, y2) = crop_region_from_corners(video.corners, cfg)
+    if w_use is not None:
+        x2 = x1 + w_use
+    B, T = cfg.batch_windows, cfg.window_size
+    n_src = video.frames.shape[0]
+    assert n_src > T, "benchmark clip must be longer than one window"
+    wins = []
+    for b in range(B):
+        s = (2 * b) % (n_src - T)
+        crop = video.frames[s : s + T, y1:y2, x1:x2, :]
+        wins.append(bgr_to_gray_host(crop) if to_gray else crop)
+    return jax.device_put(np.stack(wins))
+
+
 def resident_fps(cfg, video, frames=13440):
     """On-chip localization throughput with device-resident gray windows.
 
@@ -53,20 +77,10 @@ def resident_fps(cfg, video, frames=13440):
     """
     import jax.numpy as jnp
 
-    from swiftwatcher_tpu.geometry import crop_region_from_corners
-    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
     from swiftwatcher_tpu.pipeline.window import localize_windows_gray
 
-    (x1, y1), (x2, y2) = crop_region_from_corners(video.corners, cfg)
     B, T = cfg.batch_windows, cfg.window_size
-    n_src = video.frames.shape[0]
-    # distinct window per batch slot (shifted starts) for realistic
-    # convergence variety — the while_loop runs to the slowest window
-    wins = [
-        bgr_to_gray_host(video.frames[s : s + T, y1:y2, x1:x2, :])
-        for s in ((2 * b) % (n_src - T) for b in range(B))
-    ]
-    batch = jax.device_put(np.stack(wins))
+    batch = _window_batch(cfg, video, to_gray=True)
 
     @jax.jit
     def run_k(b, k):
@@ -106,7 +120,6 @@ def resident_tracked_fps(cfg, video, frames=13440):
         crop_region_from_corners,
         roi_crop_region_from_corners,
     )
-    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
     from swiftwatcher_tpu.ops.roi_mask import generate_roi_mask
     from swiftwatcher_tpu.pipeline.window import localize_windows_gray
     from swiftwatcher_tpu.pipeline.tracking_jax import (
@@ -116,7 +129,6 @@ def resident_tracked_fps(cfg, video, frames=13440):
     )
 
     crop_region = crop_region_from_corners(video.corners, cfg)
-    (x1, y1), (x2, y2) = crop_region
     roi_region = roi_crop_region_from_corners(video.corners, cfg)
     roi = jax.device_put(
         np.asarray(
@@ -124,12 +136,7 @@ def resident_tracked_fps(cfg, video, frames=13440):
         )
     )
     B, T = cfg.batch_windows, cfg.window_size
-    n_src = video.frames.shape[0]
-    wins = [
-        bgr_to_gray_host(video.frames[s : s + T, y1:y2, x1:x2, :])
-        for s in ((2 * b) % (n_src - T) for b in range(B))
-    ]
-    batch = jax.device_put(np.stack(wins))
+    batch = _window_batch(cfg, video, to_gray=True)
     fns = jnp.arange(B * T, dtype=jnp.int32)
     active = jnp.ones((B * T,), bool)
 
@@ -175,16 +182,16 @@ def sharded_resident_fps(cfg, video, frames=6720):
     mesh = make_mesh()
     data, model = mesh.shape["data"], mesh.shape["model"]
     (x1, y1), (x2, y2) = crop_region_from_corners(video.corners, cfg)
-    # crop width must tile over 'model'
+    # crop width must tile over 'model' (this width-sharded path; the
+    # runner's flat-pixel mesh mode has no such constraint)
     w_use = (x2 - x1) // model * model
-    B = max(cfg.batch_windows // data * data, data)
-    T = cfg.window_size
-    n_src = video.frames.shape[0]
-    wins = [
-        video.frames[s : s + T, y1:y2, x1 : x1 + w_use, :]
-        for s in ((2 * b) % (n_src - T) for b in range(B))
-    ]
-    batch = jax.device_put(np.stack(wins))
+    import dataclasses as _dc
+
+    bcfg = _dc.replace(
+        cfg, batch_windows=max(cfg.batch_windows // data * data, data)
+    )
+    B, T = bcfg.batch_windows, bcfg.window_size
+    batch = _window_batch(bcfg, video, to_gray=False, w_use=w_use)
 
     # One compiled program for ALL batches (same single-dispatch fori_loop
     # methodology as resident_fps; see its docstring).  Without an enclosing
@@ -218,8 +225,10 @@ def sharded_resident_fps(cfg, video, frames=6720):
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1680)
-    # 3 full batches of warmup: compiles BOTH wire paths (the auto probe may
-    # pick raw or delta4) and lets the tunnel/link reach steady state.
+    # 3 full batches of warmup: compiles the probe-selected wire path's
+    # programs (raw and delta4 never mix mid-run: partial batches are
+    # padded by repeating the last window, so the codec stays engaged)
+    # and lets the tunnel/link reach steady state.
     ap.add_argument("--warmup-frames", type=int, default=1008)
     ap.add_argument("--height", type=int, default=1080)
     ap.add_argument("--width", type=int, default=1920)

@@ -33,10 +33,28 @@ def main(argv=None) -> int:
 
     mesh = None
     if args.mesh:
+        import re
+
+        import jax
+
         from .parallel.mesh import make_mesh
 
-        data, _, model = args.mesh.partition("x")
-        mesh = make_mesh(shape=(int(data), int(model or 1)))
+        m = re.fullmatch(r"(\d+)(?:x(\d+))?", args.mesh)
+        if not m:
+            print(
+                f"[!] --mesh must look like DATAxMODEL (e.g. 4x2), "
+                f"got {args.mesh!r}.", file=sys.stderr,
+            )
+            return 2
+        shape = (int(m.group(1)), int(m.group(2) or 1))
+        have = len(jax.devices())
+        if shape[0] * shape[1] > have:
+            print(
+                f"[!] --mesh {args.mesh} needs {shape[0] * shape[1]} "
+                f"devices; only {have} available.", file=sys.stderr,
+            )
+            return 2
+        mesh = make_mesh(shape=shape)
 
     segment_filter = None
     if args.classify:

@@ -80,7 +80,9 @@ class WindowPrefetcher:
             probe = np.zeros(2 * 1024 * 1024, np.uint8)
             t0 = _time.perf_counter()
             np.asarray(jax.device_put(probe))
-            rate = probe.nbytes / max(_time.perf_counter() - t0, 1e-9)
+            # the probe is a full round trip (upload + readback), so count
+            # both directions' bytes against the elapsed time
+            rate = 2 * probe.nbytes / max(_time.perf_counter() - t0, 1e-9)
             self._codec_on = rate < cfg.wire_auto_mbps * 1e6
         self.wire_bytes = 0          # actual bytes enqueued to the device
         self._ex = ThreadPoolExecutor(max_workers=1)
@@ -139,9 +141,14 @@ class WindowPrefetcher:
             self._exhausted = True
             return None
         n_real = len(wins)
+        # Pad a partial final batch by REPEATING the last real window (its
+        # outputs are discarded downstream either way): repeated frames have
+        # all-zero wire residuals, so the delta4 codec stays engaged — zero
+        # padding would make the boundary residual a near-full frame of
+        # escapes, overflow the cap, and ship the last batch raw (paying a
+        # first compile of the never-warmed raw program mid-run).
         gray = np.stack(
-            [w[3] for w in wins]
-            + [np.zeros_like(wins[0][3])] * (B - n_real)
+            [w[3] for w in wins] + [wins[-1][3]] * (B - n_real)
         )
         payload = None
         if self._codec_on:

@@ -10,6 +10,7 @@ All per-pixel work happens inside `localize_window` on device.
 from __future__ import annotations
 
 import dataclasses
+import functools
 from pathlib import Path
 from typing import Callable, List, Optional
 
@@ -206,21 +207,32 @@ def run_video(
                 g, mesh, cfg, with_bbox=needs_frames
             )
 
+        @functools.partial(jax.jit, static_argnames=("N", "H", "W"))
+        def _localize_sharded_packed(first, packed, ei, ev, N, H, W):
+            # decode + sharded localization in ONE program: XLA propagates
+            # the shard_map boundary shardings back into the decode ops
+            # (SPMD-partitioned for free) and no extra dispatch is paid
+            from ..io.wirecodec import decode_delta4
+
+            g = decode_delta4(first, packed, ei, ev, N, H, W)
+            T = cfg.window_size
+            return sharded_localize_windows_gray(
+                g.reshape(N // T, T, H, W), mesh, cfg, with_bbox=needs_frames
+            )
+
     def _localize(gray_dev):
         from ..io.wirecodec import WirePacket
 
         if isinstance(gray_dev, WirePacket):
-            from ..io.wirecodec import decode_delta4
             from .window import localize_windows_packed
 
             N, H, W = gray_dev.shape
             T = cfg.window_size
             if mesh is not None:
-                g = decode_delta4(
+                return _localize_sharded_packed(
                     gray_dev.first, gray_dev.packed,
-                    gray_dev.esc_idx, gray_dev.esc_val, N, H, W,
+                    gray_dev.esc_idx, gray_dev.esc_val, N=N, H=H, W=W,
                 )
-                return _localize_sharded(g.reshape(N // T, T, H, W))
             return localize_windows_packed(
                 gray_dev.first, gray_dev.packed,
                 gray_dev.esc_idx, gray_dev.esc_val,
