@@ -21,7 +21,7 @@ jax.config.update(
 )
 
 from . import ui
-from .config import DEFAULT_CONFIG, config_with_overrides
+from .config import config_with_overrides
 from .io.readers import open_source
 from .pipeline.runner import run_video
 

@@ -12,7 +12,7 @@ double-buffered host->HBM streaming layer of SURVEY.md §7 step 8.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Tuple
+from typing import Optional
 
 import numpy as np
 

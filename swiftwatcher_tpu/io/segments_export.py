@@ -14,7 +14,6 @@ named '"<src>"_<frame>_<label>_<nsegs>.png'.  The reference's export path is
 from __future__ import annotations
 
 from pathlib import Path
-from typing import Sequence
 
 import numpy as np
 

@@ -12,14 +12,14 @@ of the head conv splits across the 'model' axis with a psum).
 from __future__ import annotations
 
 import functools
-from typing import Dict, Tuple
+from typing import Dict
 
 import jax
 import jax.numpy as jnp
 import numpy as np
 import optax
 
-from .squeezenet import forward, FIRE_LAYOUT, POOL_AFTER, _conv, _maxpool_ceil, _fire
+from .squeezenet import FIRE_LAYOUT, POOL_AFTER, _conv, _maxpool_ceil, _fire
 
 HEAD_KEYS = ("classifier.1.weight", "classifier.1.bias")
 

@@ -24,7 +24,7 @@ hysteresis flood runs as a bounded while_loop.
 from __future__ import annotations
 
 import functools
-from typing import Sequence, Tuple
+from typing import Tuple
 
 import jax
 import jax.numpy as jnp

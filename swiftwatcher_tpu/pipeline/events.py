@@ -22,7 +22,7 @@ from __future__ import annotations
 
 import math
 import sys
-from typing import List, Sequence
+from typing import Sequence
 
 import numpy as np
 import pandas as pd

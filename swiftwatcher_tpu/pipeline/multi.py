@@ -11,7 +11,7 @@ proceed — the device dispatch queue interleaves them safely.
 from __future__ import annotations
 
 from concurrent.futures import ThreadPoolExecutor
-from typing import List, Optional, Sequence, Tuple
+from typing import List, Sequence, Tuple
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..io.readers import FrameSource
