@@ -14,6 +14,7 @@ per-minute files drop framenumber via index flooring).  Also provides the
 
 from __future__ import annotations
 
+import threading
 from datetime import date
 from glob import glob
 from pathlib import Path
@@ -91,14 +92,30 @@ def export_results(
     return total
 
 
+_test_dir_lock = threading.Lock()
+
+
 def generate_test_dir(parent_dir: Path) -> Path:
     """--debug run versioning: parent/<today>/<last run + 1>
-    (io_data.py:193-213)."""
-    date_dir = Path(parent_dir) / str(date.today())
-    if not date_dir.exists():
-        return date_dir / "1"
-    run_ids = [int(Path(p).stem) for p in glob(str(date_dir / "*/"))]
-    return date_dir / str(max(run_ids) + 1)
+    (io_data.py:193-213).
+
+    Unlike the reference (single-threaded, returns without creating), the
+    directory is CLAIMED here with an exclusive mkdir under a lock so
+    concurrent --parallel-videos debug runs sharing an export parent cannot
+    compute the same run id and interleave their CSVs.  (max(..., default=0)
+    also hardens the reference's latent max([]) crash on an empty date
+    directory.)"""
+    with _test_dir_lock:
+        date_dir = Path(parent_dir) / str(date.today())
+        run_ids = [int(Path(p).stem) for p in glob(str(date_dir / "*/"))]
+        nxt = max(run_ids, default=0) + 1
+        while True:
+            candidate = date_dir / str(nxt)
+            try:
+                candidate.mkdir(parents=True, exist_ok=False)
+                return candidate
+            except FileExistsError:  # raced by another process
+                nxt += 1
 
 
 # ---------------------------------------------------------------------------

@@ -84,11 +84,21 @@ class FrameSource:
             frames.append(f)
             numbers.append(num)
             stamps.append(ts)
-        # Null frames before any successful read have shape (0,0,0); broadcast
-        # them to the first real frame's shape.
-        shape = next((f.shape for f in frames if f.size), None)
+        # Null frames before any successful read have shape (0,0,0), and a
+        # read ERROR before any successful read yields None (get_frame's
+        # substitute, self.last_read_frame, is still unset — routine after a
+        # checkpoint resume, which does not restore last_read_frame).
+        # Broadcast both to a known frame shape (first real frame in the
+        # window, else the source's recorded shape) so one early corrupt
+        # frame degrades to a zero frame instead of killing the run.
+        def _real(f):
+            return f is not None and f.size
+
+        shape = next((f.shape for f in frames if _real(f)), None)
+        if shape is None and self.frame_shape != (0, 0, 0):
+            shape = self.frame_shape
         if shape is not None:
-            frames = [f if f.size else np.zeros(shape, np.uint8) for f in frames]
+            frames = [f if _real(f) else np.zeros(shape, np.uint8) for f in frames]
         return frames, numbers, stamps
 
 
@@ -177,7 +187,13 @@ class HDF5Source(FrameSource):
                 self.frames_read += 1
             except (ValueError, IndexError):
                 enc = getattr(self, "_last_encoded", None)
-                self.read_errors += 1
+                if enc is not None:
+                    # substitution happens at the encoded level; count the
+                    # error here (the substituted decode will succeed)
+                    self.read_errors += 1
+                # else: no last-good buffer exists — the None buffer fails
+                # decode downstream, where the error is counted ONCE (a
+                # bump here too would double-count the same failure)
             self.next_frame_number += 1
             bufs.append(enc)
             numbers.append(fn)

@@ -142,12 +142,15 @@ def run_video(
 
     frames_processed = 0
     if checkpoint_path is not None:
+        from ..utils.checkpoint import source_fingerprint
+
+        src_info = source_fingerprint(source)
         if use_device_tracker:
             from ..utils.checkpoint import load_checkpoint_device
 
-            restored = load_checkpoint_device(checkpoint_path)
+            restored = load_checkpoint_device(checkpoint_path, src_info)
         else:
-            restored = load_checkpoint(checkpoint_path, tracker)
+            restored = load_checkpoint(checkpoint_path, tracker, src_info)
         if restored is not None:
             if not getattr(source, "supports_seek", False):
                 raise ValueError(
@@ -341,11 +344,15 @@ def run_video(
                 checkpoint_path is not None
                 and metrics.batches % checkpoint_interval_batches == 0
             ):
-                from ..utils.checkpoint import save_checkpoint_device
+                from ..utils.checkpoint import (
+                    save_checkpoint_device,
+                    source_fingerprint,
+                )
 
                 save_checkpoint_device(
                     checkpoint_path, cursor[0], frames_processed,
                     state_snapshot, tracker.events,
+                    source_info=source_fingerprint(source),
                 )
             metrics.stage_stop("consume")
             if status_cb is not None:
@@ -374,7 +381,12 @@ def run_video(
         metrics.batches += 1
         metrics.frames_processed = frames_processed
         if checkpoint_path is not None and metrics.batches % checkpoint_interval_batches == 0:
-            save_checkpoint(checkpoint_path, cursor[0], frames_processed, tracker)
+            from ..utils.checkpoint import source_fingerprint
+
+            save_checkpoint(
+                checkpoint_path, cursor[0], frames_processed, tracker,
+                source_info=source_fingerprint(source),
+            )
         metrics.stage_stop("consume")
         if status_cb is not None:
             status_cb(frames_processed, source.total_frames)

@@ -179,15 +179,21 @@ def test_device_tracker_checkpoint_resume(tmp_path, video):
     )
     assert ck.exists()
 
+    # export_dir on the RESUMED run: restored event timestamps must be
+    # real (re-anchored) pd.Timestamps, or the CSV export's groupby dies
+    # sorting a mixed str/Timestamp index (regression: the device loader
+    # used to leave them as raw JSON strings)
     resumed = run_video(
         ArraySource(video.frames, fps=video.fps), video.corners,
         DEFAULT_CONFIG, checkpoint_path=ck, tracker_impl="device",
+        export_dir=tmp_path / "resumed_out",
     )
     assert resumed.total_predicted == full.total_predicted
     assert resumed.total_rejected == full.total_rejected
     assert sorted(e.frame_number for e in resumed.events) == sorted(
         e.frame_number for e in full.events
     )
+    assert list((tmp_path / "resumed_out").glob("*-swifts_*.csv"))
 
     # host/device checkpoint formats refuse cross-resume
     with pytest.raises(ValueError, match="device-tracker checkpoint"):
@@ -195,6 +201,84 @@ def test_device_tracker_checkpoint_resume(tmp_path, video):
             ArraySource(video.frames, fps=video.fps), video.corners,
             DEFAULT_CONFIG, checkpoint_path=ck, tracker_impl="host",
         )
+
+
+def test_checkpoint_timestamps_day_portable():
+    """Serialized timestamps carry only time-of-day (re-anchored at load):
+    a checkpoint written yesterday must not mix two calendar dates into the
+    resumed run's export timeline.  Raw string markers round-trip verbatim
+    and legacy plain-string checkpoints still parse."""
+    import pandas as pd
+
+    from swiftwatcher_tpu.io.export import frame_timestamp
+    from swiftwatcher_tpu.io.readers import NULL_TIMESTAMP
+    from swiftwatcher_tpu.utils.checkpoint import _ts_from_json, _ts_to_json
+
+    ts = frame_timestamp(12345, 29.97)
+    enc = _ts_to_json(ts)
+    assert enc[0] == "tod" and "days" not in enc[1] or "0 days" in enc[1]
+    back = _ts_from_json(enc)
+    assert back == ts  # same day: identity
+    # the JSON carries no calendar date
+    assert str(ts.date()) not in enc[1]
+
+    assert _ts_from_json(_ts_to_json(NULL_TIMESTAMP)) == NULL_TIMESTAMP
+    assert _ts_from_json(None) is None
+    legacy = _ts_from_json(str(ts))          # pre-tag format
+    assert isinstance(legacy, pd.Timestamp)
+
+
+def test_checkpoint_source_fingerprint(tmp_path, video):
+    """Resuming against a different video raises instead of silently
+    corrupting counts."""
+    ck = tmp_path / "fp.ckpt"
+    src = ArraySource(video.frames, fps=video.fps)
+    src.total_frames = 21
+    run_video(
+        src, video.corners, DEFAULT_CONFIG,
+        checkpoint_path=ck, checkpoint_interval_batches=1,
+    )
+    other = ArraySource(video.frames, fps=60.0)   # different fps = different video
+    with pytest.raises(ValueError, match="refusing to resume"):
+        run_video(other, video.corners, DEFAULT_CONFIG, checkpoint_path=ck)
+
+
+def test_get_window_survives_early_read_error(video):
+    """A read error before any successful read (routine after checkpoint
+    resume, which does not restore last_read_frame) degrades to a zero
+    frame instead of an AttributeError on None."""
+    src = ArraySource(video.frames, fps=video.fps)
+    src.frame_shape = video.frames[0].shape       # known from a prior run
+
+    fails = {"n": 0}
+    orig = src.read_frame
+
+    def flaky(frame_number, increment=True):
+        if fails["n"] == 0:
+            fails["n"] += 1
+            src.next_frame_number += increment
+            return None                            # corrupt first frame
+        return orig(frame_number, increment)
+
+    src.read_frame = flaky
+    frames, numbers, stamps = src.get_window(5)
+    assert len(frames) == 5
+    assert all(f is not None and f.shape == video.frames[0].shape for f in frames)
+    assert not frames[0].any()                     # zero substitute
+    assert src.read_errors == 1
+
+
+def test_generate_test_dir_concurrent_unique(tmp_path):
+    """Concurrent --debug runs sharing an export parent claim distinct run
+    directories (the reference's read-then-create is racy)."""
+    from concurrent.futures import ThreadPoolExecutor
+
+    from swiftwatcher_tpu.io.export import generate_test_dir
+
+    with ThreadPoolExecutor(8) as ex:
+        dirs = list(ex.map(lambda _: generate_test_dir(tmp_path), range(8)))
+    assert len({str(d) for d in dirs}) == 8
+    assert all(d.is_dir() for d in dirs)
 
 
 def test_profile_trace_and_device_times(tmp_path, video):
