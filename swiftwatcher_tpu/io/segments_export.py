@@ -30,9 +30,22 @@ def export_frame_segments(
     export_dir: Path,
     src_name: str,
     cfg: PipelineConfig = DEFAULT_CONFIG,
+    keep=None,
 ) -> int:
-    """Write overlay + crop PNGs for one frame's segments; returns count."""
+    """Write overlay + crop PNGs for one frame's segments; returns count.
+
+    keep: optional classifier keep-mask over the frame's valid segments in
+    ascending label order.  The reference runs the CNN filter BEFORE export
+    (__main__.py:84-96), dropping rejected segments and relabeling the
+    survivors 1..N (segment_classification.py:40-44) — so with --classify,
+    rejected segments must produce no PNGs and names use the contiguous
+    post-filter labels and count."""
     import cv2
+
+    export_dir = Path(export_dir)
+    # the reference mkdirs per exported frame regardless of segment count
+    # (data_structures.py:65-67)
+    (export_dir / "overlay").mkdir(parents=True, exist_ok=True)
 
     if isinstance(index, tuple):
         get = lambda a: np.asarray(a[index[0], index[1]])
@@ -40,19 +53,22 @@ def export_frame_segments(
         get = lambda a: np.asarray(a[index])
     valid = get(table.valid)
     ks = np.nonzero(valid)[0]
+    if keep is not None:
+        ks = [k for k, kp in zip(ks, keep) if kp]
     if len(ks) == 0:
         return 0
 
-    export_dir = Path(export_dir)
-    (export_dir / "overlay").mkdir(parents=True, exist_ok=True)
     (x1, y1), (x2, y2) = crop_region
     crop_img = frame_bgr[y1:y2, x1:x2]
     min_y, min_x = get(table.min_y), get(table.min_x)
     max_y, max_x = get(table.max_y), get(table.max_x)
 
     n = len(ks)
-    for k in ks:
-        name = '"{}"_{}_{}_{}.png'.format(src_name, frame_number, int(k), n)
+    for i, k in enumerate(ks):
+        # post-filter segments are relabeled 1..N; unfiltered slots already
+        # carry contiguous 1..N labels (slot index == CCL label)
+        label = i + 1 if keep is not None else int(k)
+        name = '"{}"_{}_{}_{}.png'.format(src_name, frame_number, label, n)
         bbox = (int(min_y[k]), int(min_x[k]), int(max_y[k]), int(max_x[k]))
 
         # overlay: alpha-blended filled rectangle (data_structures.py:83-92)

@@ -25,7 +25,7 @@ from PIL import Image
 import jax.numpy as jnp
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
-from .squeezenet import forward, predict
+from .squeezenet import predict
 
 DEFAULT_WEIGHTS = Path(__file__).parent / "segment_classifier.npz"
 
@@ -100,7 +100,9 @@ class SqueezeNetSegmentFilter:
             padded_n = 1
             while padded_n < n:
                 padded_n *= 2
-            return padded_n
+            # a non-power-of-two cap must still bound the batch (the pow2
+            # rounding of n=33 at cap=48 would otherwise yield 64 > cap)
+            return min(padded_n, cap)
         return -(-n // cap) * cap
 
     def classify_images(self, images: Sequence[np.ndarray]) -> np.ndarray:

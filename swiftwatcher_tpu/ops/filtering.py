@@ -76,10 +76,12 @@ def bilateral_blur(
             axis=frames.ndim - 1,
         )
         sv = shifted.astype(jnp.float32)
-        # cv2 looks the color weight up in a float32 LUT of exp(d^2 * coeff);
-        # computing exp directly on the VPU gives the same f32 values (the
-        # argument is an exact small integer) and avoids 29 gathers, which
-        # dominated this kernel's runtime on TPU.
+        # cv2 looks the color weight up in a float32 LUT of exp(d^2 * coeff)
+        # computed in DOUBLE and rounded once; evaluating f32 exp on the VPU
+        # avoids 29 gathers (which dominated this kernel's runtime on TPU)
+        # at the cost of a last-ulp weight difference on some inputs —
+        # measured envelope: <=+-1 uint8 on <1% of output pixels
+        # (tests/test_filtering.py asserts it; PARITY.md deviation 9).
         ddiff = sv - center
         w = sw * jnp.exp(ddiff * ddiff * jnp.float32(gauss_color))
         num = num + w * sv

@@ -363,6 +363,7 @@ def run_video(
             ialm_iters.append(int(np.asarray(iters)[b]))
             for t in range(cfg.window_size):
                 centroids = extract_frame_segments_batched(table, b, t)
+                keep = None
                 if segment_filter is not None:
                     keep = segment_filter(table, (b, t), frames[t], crop_region)
                     centroids = [c for c, k in zip(centroids, keep) if k]
@@ -370,9 +371,13 @@ def run_video(
                 if export_segments_dir is not None:
                     from ..io.segments_export import export_frame_segments
 
+                    # the reference filters segments BEFORE export
+                    # (__main__.py:84-96): rejected segments produce no
+                    # PNGs, survivors relabel 1..N
                     export_frame_segments(
                         frames[t], table, (b, t), numbers[t], crop_region,
                         export_segments_dir, source.filepath.stem, cfg,
+                        keep=keep,
                     )
                 metrics.segments_total += len(centroids)
                 if numbers[t] >= 0:

@@ -82,6 +82,7 @@ def select_chimney_corners(video_path: Path) -> List[Tuple[int, int]]:
 
     cap = cv2.VideoCapture(str(video_path))
     ok, image = cap.read()
+    cap.release()   # only the first frame is needed; don't hold the handle
     if not ok:
         sys.stderr.write("[!] Error: could not read first frame for corner picking.\n")
         sys.exit(1)
@@ -94,11 +95,23 @@ def select_chimney_corners(video_path: Path) -> List[Tuple[int, int]]:
             cv2.circle(image, corners[-1], 5, (0, 0, 255), -1)
             cv2.imshow("image", image)
 
+    clone = image.copy()
+    # headless detection: only window CREATION means "no display" — a
+    # cv2.error later in the session is a closed window, not a missing
+    # display, and must not be misreported as one
     try:
-        clone = image.copy()
         cv2.namedWindow("image", cv2.WINDOW_NORMAL)
         cv2.setMouseCallback("image", on_click)
         cv2.setWindowTitle("image", "Click on corner 1, then corner 2; y=keep n=retry")
+        cv2.imshow("image", image)
+    except cv2.error:
+        sys.stderr.write(
+            "[!] Error: no display available for interactive corner selection.\n"
+            "    Create <video dir>/<stem>/attributes.json with "
+            '{"corners": [[x1, y1], [x2, y2]]} instead.\n'
+        )
+        sys.exit(1)
+    try:
         while True:
             cv2.imshow("image", image)
             cv2.waitKey(1)
@@ -115,11 +128,7 @@ def select_chimney_corners(video_path: Path) -> List[Tuple[int, int]]:
         cv2.destroyAllWindows()
         return corners
     except cv2.error:
-        sys.stderr.write(
-            "[!] Error: no display available for interactive corner selection.\n"
-            "    Create <video dir>/<stem>/attributes.json with "
-            '{"corners": [[x1, y1], [x2, y2]]} instead.\n'
-        )
+        sys.stderr.write("[!] Error: window closed during corner selection.\n")
         sys.exit(1)
 
 

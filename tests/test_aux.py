@@ -203,6 +203,50 @@ def test_device_tracker_checkpoint_resume(tmp_path, video):
         )
 
 
+def test_export_respects_classifier_filter(tmp_path, video):
+    """The reference filters segments BEFORE export (__main__.py:84-96):
+    rejected segments produce no PNGs; survivors relabel 1..N and the
+    filename count is the post-filter count."""
+    import re
+
+    # reject every even-indexed segment in each frame
+    def reject_even(table, index, frame, crop_region):
+        import numpy as np
+
+        b, t = index
+        n = int(np.asarray(table.valid[b, t]).sum())
+        return [i % 2 == 1 for i in range(n)]
+
+    base = tmp_path / "all"
+    filt = tmp_path / "filtered"
+    run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, export_segments_dir=base,
+    )
+    run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, export_segments_dir=filt, segment_filter=reject_even,
+    )
+    all_pngs = sorted(p.name for p in base.glob("*.png"))
+    kept_pngs = sorted(p.name for p in filt.glob("*.png"))
+    assert len(kept_pngs) < len(all_pngs)
+    pat = re.compile(r'^".+"_(\d+)_(\d+)_(\d+)\.png$')
+    for name in kept_pngs:
+        m = pat.match(name)
+        assert m, name
+        label, count = int(m.group(2)), int(m.group(3))
+        assert 1 <= label <= count      # contiguous post-filter labels
+    # a frame with 2 segments keeps exactly 1 (the odd-indexed one)
+    by_frame = {}
+    for name in all_pngs:
+        m = pat.match(name)
+        by_frame.setdefault(int(m.group(1)), []).append(name)
+    for name in kept_pngs:
+        m = pat.match(name)
+        fn, count = int(m.group(1)), int(m.group(3))
+        assert count == len(by_frame[fn]) // 2
+
+
 def test_checkpoint_timestamps_day_portable():
     """Serialized timestamps carry only time-of-day (re-anchored at load):
     a checkpoint written yesterday must not mix two calendar dates into the
