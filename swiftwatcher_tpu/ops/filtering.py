@@ -134,3 +134,25 @@ def motion_postfilter(
     )
     x = thresh_to_zero(x, cfg.motion_threshold)
     return grayscale_opening(x, cfg.opening_size)
+
+
+def apply_postfilter(
+    motion: jnp.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
+) -> jnp.ndarray:
+    """Postfilter with the fused-kernel gate — THE one gate shared by the
+    single-chip and sharded localization paths.
+
+    The fused Pallas pass (one HBM round trip instead of four) bakes a 3x3
+    opening, so any other cfg.opening_size must take the XLA chain — gating
+    here keeps a non-default opening from being silently ignored on TPU."""
+    import jax
+
+    if (
+        cfg.use_pallas_postfilter
+        and jax.default_backend() == "tpu"
+        and tuple(cfg.opening_size) == (3, 3)
+    ):
+        from .pallas.fused_motion import fused_motion_filter
+
+        return fused_motion_filter(motion, cfg)
+    return motion_postfilter(motion, cfg)

@@ -368,13 +368,14 @@ def ialm_rpca_batched(
         C = allsum(_mm(W1, jnp.swapaxes(W1, -1, -2)))
         d, V1 = _refined_eigh(C)
         S = jnp.sqrt(jnp.clip(d, 0.0, None))
-        V = _mm(V0, V1)
+        Vn = _mm(V0, V1)            # this iteration's basis (carried V stays
+        #                             bound to LAST iteration's for the mask)
         floor = (
             jnp.finfo(dtype).eps * jnp.max(S, axis=-1, keepdims=True)
             + jnp.asarray(jnp.finfo(dtype).tiny, dtype)
         )
         ratio = (S - (1.0 / mu)[..., None]) / jnp.maximum(S, floor)
-        Q = _mm(V * ratio[..., None, :], jnp.swapaxes(V1, -1, -2))  # (B, T, T)
+        Q = _mm(Vn * ratio[..., None, :], jnp.swapaxes(V1, -1, -2))  # (B, T, T)
         Aupd = _mm(Q, W1)
         Z = X - Aupd - Eupd
         Ynew = Y + mu[..., None, None] * Z
@@ -382,7 +383,6 @@ def ialm_rpca_batched(
         err_new = jnp.sqrt(allsum(jnp.sum(Z * Z, axis=(-2, -1)))) / frob
 
         keep = active[..., None, None]
-        Vnext = _mm(V0, V1) if warm_basis else V
         A_new = Aupd.astype(sd_ae) if sd_ae is not None else Aupd
         E_new = Eupd.astype(sd_ae) if sd_ae is not None else Eupd
         Y_new = Ynew.astype(sd_y) if sd_y is not None else Ynew
@@ -391,7 +391,7 @@ def ialm_rpca_batched(
             jnp.where(keep, E_new, E_s),
             jnp.where(keep, Y_new, Y_s),
             jnp.where(active, mu_new, mu),
-            jnp.where(keep, Vnext, V),
+            jnp.where(keep, Vn, V),
             itr + active.astype(jnp.int32),
             jnp.where(active, err_new, err),
         )
@@ -428,6 +428,64 @@ def ialm_rpca_batched(
     return A.astype(dtype), E.astype(dtype), itr
 
 
+def ialm_gates_and_kwargs(cfg: PipelineConfig, dtype):
+    """(fused, kwargs) for ialm_rpca_batched from a PipelineConfig.
+
+    THE one place the fused-front gate and the storage-dtype knobs live:
+    the unsharded path and both shard_map bodies call this, so their
+    arithmetic cannot drift apart.
+
+    Gates: the fused Pallas front needs TPU + f32 and is disabled under the
+    warm-carried basis (its headline output — the per-iteration Gram — is
+    never consumed there; measured slower together).  X-as-uint8 is
+    lossless for uint8-origin windows but incompatible with the fused
+    kernel (it reads f32 X); bf16 loop state is the measured, bounded
+    envelope of PARITY.md deviation 8."""
+    warm = cfg.rpca_warm_basis
+    fused = (
+        cfg.use_pallas_rpca
+        and not warm
+        and jax.default_backend() == "tpu"
+        and dtype == jnp.float32  # the fused kernel is f32-only
+    )
+    x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
+    state_sd = (
+        "bfloat16" if (cfg.rpca_state_bf16 and dtype == jnp.float32) else None
+    )
+    return fused, dict(
+        lmbda=cfg.rpca_lambda,
+        tol=cfg.rpca_tol,
+        max_iter=cfg.rpca_max_iter,
+        rho=cfg.rpca_rho,
+        mu_cap=cfg.rpca_mu_cap,
+        fused_front=fused,
+        warm_basis=warm,
+        x_store_dtype=x_sd,
+        store_y_dtype=state_sd,
+        store_ae_dtype=state_sd,
+    )
+
+
+def pad_pixels_for_fused(X: jnp.ndarray, fused: bool) -> jnp.ndarray:
+    """Zero-pad the trailing pixel axis to the fused kernel's tile width
+    (zero pixel columns are exactly IALM-neutral — covered by tests)."""
+    if not fused:
+        return X
+    from .pallas.ialm_front import TILE
+
+    P = X.shape[-1]
+    Pp = -(-P // TILE) * TILE
+    if Pp != P:
+        X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P)))
+    return X
+
+
+def motion_from_E(E: jnp.ndarray, P: int) -> jnp.ndarray:
+    """Sparse part -> uint8 motion image: clip(-E, 0, 255) on the first P
+    pixels (drops fused-tile padding; image_filtering.py:243-245)."""
+    return jnp.clip(-E[..., :P], 0.0, 255.0).astype(jnp.uint8)
+
+
 def rpca_motion_window_batched(
     gray_windows: jnp.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
 ):
@@ -442,40 +500,7 @@ def rpca_motion_window_batched(
     P = H * W
     X = gray_windows.reshape(B, T, P).astype(dtype)
 
-    warm = cfg.rpca_warm_basis
-    # The fused front's headline output is the per-iteration Gram, which the
-    # warm-basis solver never needs — measured slower together, so warm
-    # disables the fusion (see config.py rpca_warm_basis).
-    fused = (
-        cfg.use_pallas_rpca
-        and not warm
-        and jax.default_backend() == "tpu"
-        and dtype == jnp.float32  # the fused kernel is f32-only
-    )
-    if fused:
-        from .pallas.ialm_front import TILE
-
-        Pp = -(-P // TILE) * TILE
-        if Pp != P:
-            X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P)))
-    # Storage-dtype knobs (see config.py): X-as-uint8 is lossless for these
-    # uint8-origin windows; bf16 loop state is a measured, bounded envelope.
-    x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
-    state_sd = (
-        "bfloat16" if (cfg.rpca_state_bf16 and dtype == jnp.float32) else None
-    )
-    _, E, iters = ialm_rpca_batched(
-        X,
-        lmbda=cfg.rpca_lambda,
-        tol=cfg.rpca_tol,
-        max_iter=cfg.rpca_max_iter,
-        rho=cfg.rpca_rho,
-        mu_cap=cfg.rpca_mu_cap,
-        fused_front=fused,
-        warm_basis=warm,
-        x_store_dtype=x_sd,
-        store_y_dtype=state_sd,
-        store_ae_dtype=state_sd,
-    )
-    motion = jnp.clip(-E[..., :P], 0.0, 255.0).astype(jnp.uint8)
-    return motion.reshape(B, T, H, W), iters
+    fused, kwargs = ialm_gates_and_kwargs(cfg, dtype)
+    X = pad_pixels_for_fused(X, fused)
+    _, E, iters = ialm_rpca_batched(X, **kwargs)
+    return motion_from_E(E, P).reshape(B, T, H, W), iters

@@ -35,7 +35,7 @@ import optax
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..ops.color import bgr_to_gray
 from ..ops.rpca import ialm_rpca_batched
-from ..ops.filtering import motion_postfilter
+from ..ops.filtering import apply_postfilter
 from ..ops.ccl import label_components, wrap_labels_uint8
 from ..ops.props import RegionTable, region_tables
 from ..models import train as train_mod
@@ -57,30 +57,57 @@ def make_mesh(
     return Mesh(grid, ("data", "model"))
 
 
+def _sharded_stencil_tables(motion, b, t, H, W, mesh, cfg, with_bbox):
+    """Post-RPCA stages inside a shard_map body: DIVIDE the stencil/CCL/
+    table work across the 'model' axis by frame slices (each device filters
+    and labels bt/m frames) instead of running it replicated — the final
+    all_gather of the (tiny) per-frame tables re-replicates.  Uses the same
+    fused-postfilter gate as the single-chip path (ops/filtering.py)."""
+
+    m = mesh.shape["model"]
+    bt = b * t
+    flat = motion.reshape(bt, H, W)
+    btp = -(-bt // m) * m
+    if btp != bt:
+        flat = jnp.pad(flat, ((0, btp - bt), (0, 0), (0, 0)))
+    k = btp // m
+    mine = jax.lax.dynamic_slice_in_dim(
+        flat, jax.lax.axis_index("model") * k, k, axis=0
+    )
+    filtered = apply_postfilter(mine, cfg)
+    labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
+    table = region_tables(
+        wrap_labels_uint8(labels, cfg.label_modulus), with_bbox=with_bbox
+    )
+    return jax.tree.map(
+        lambda a: jax.lax.all_gather(a, "model", axis=0, tiled=True)[
+            :bt
+        ].reshape(b, t, *a.shape[1:]),
+        table,
+    )
+
+
 def sharded_localize_windows(
-    crops: jnp.ndarray, mesh: Mesh, cfg: PipelineConfig = DEFAULT_CONFIG
+    crops: jnp.ndarray,
+    mesh: Mesh,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_bbox: bool = False,
 ):
     """Window localization over a mesh: windows dp-sharded over 'data',
     RPCA pixels sharded over 'model' (width blocks), stencil stages
-    replicated within 'model' after an all_gather of the motion image.
+    divided across 'model' after an all_gather of the motion image.
 
     crops: (B, T, H, W, 3) uint8 with B % data == 0 and W % model == 0.
     Returns (RegionTable (B, T, 256), iters (B,)).
     """
+    from ..ops.rpca import ialm_gates_and_kwargs, motion_from_E, pad_pixels_for_fused
+
     B, T, H, W, _ = crops.shape
     dtype = jnp.dtype(cfg.rpca_dtype)
-    # Same gates as rpca_motion_window_batched (ops/rpca.py): the fused
-    # Pallas IALM front runs per-device on its pixel block (the Gram psum is
-    # the only cross-device step), so it composes with sequence parallelism;
-    # the warm-carried basis replaces the per-iteration Gram entirely and
-    # therefore disables the fusion (measured faster).
-    warm = cfg.rpca_warm_basis
-    fused = (
-        cfg.use_pallas_rpca
-        and not warm
-        and jax.default_backend() == "tpu"
-        and dtype == jnp.float32
-    )
+    # Shared gates (ops/rpca.py): the fused Pallas IALM front runs
+    # per-device on its pixel block (the Gram psum is the only cross-device
+    # step), so it composes with sequence parallelism.
+    fused, kwargs = ialm_gates_and_kwargs(cfg, dtype)
 
     @functools.partial(
         shard_map,
@@ -98,64 +125,15 @@ def sharded_localize_windows(
         b, t, h, w_local, _ = local.shape
         m = mesh.shape["model"]
         gray = bgr_to_gray(local)                       # (b, T, H, W/m)
-        X = gray.reshape(b, t, h * w_local).astype(dtype)
         P_loc = h * w_local
-        if fused:
-            from ..ops.pallas.ialm_front import TILE
-
-            Pp = -(-P_loc // TILE) * TILE
-            if Pp != P_loc:
-                # zero pixel columns are exactly IALM-neutral (tested)
-                X = jnp.pad(X, ((0, 0), (0, 0), (0, Pp - P_loc)))
-        # Same storage-dtype knobs as rpca_motion_window_batched: the casts
-        # are purely local to each device's pixel block.
-        x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
-        state_sd = (
-            "bfloat16"
-            if (cfg.rpca_state_bf16 and dtype == jnp.float32)
-            else None
+        X = pad_pixels_for_fused(
+            gray.reshape(b, t, P_loc).astype(dtype), fused
         )
-        _, E, iters = ialm_rpca_batched(
-            X,
-            lmbda=cfg.rpca_lambda,
-            tol=cfg.rpca_tol,
-            max_iter=cfg.rpca_max_iter,
-            rho=cfg.rpca_rho,
-            mu_cap=cfg.rpca_mu_cap,
-            axis_name="model",
-            fused_front=fused,
-            warm_basis=warm,
-            x_store_dtype=x_sd,
-            store_y_dtype=state_sd,
-            store_ae_dtype=state_sd,
-        )
-        motion_local = (
-            jnp.clip(-E[..., :P_loc], 0.0, 255.0)
-            .astype(jnp.uint8)
-            .reshape(b, t, h, w_local)
-        )
-        # Reassemble full-width frames, then DIVIDE the stencil/CCL/table
-        # work across the 'model' axis by frame slices (each device filters
-        # and labels bt/m frames) instead of running it replicated — the
-        # final all_gather of the (tiny) per-frame tables re-replicates.
+        _, E, iters = ialm_rpca_batched(X, axis_name="model", **kwargs)
+        motion_local = motion_from_E(E, P_loc).reshape(b, t, h, w_local)
         motion = jax.lax.all_gather(motion_local, "model", axis=3, tiled=True)
-        bt = b * t
-        flat = motion.reshape(bt, h, w_local * m)
-        btp = -(-bt // m) * m
-        if btp != bt:
-            flat = jnp.pad(flat, ((0, btp - bt), (0, 0), (0, 0)))
-        k = btp // m
-        mine = jax.lax.dynamic_slice_in_dim(
-            flat, jax.lax.axis_index("model") * k, k, axis=0
-        )
-        filtered = motion_postfilter(mine, cfg)
-        labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
-        table = region_tables(wrap_labels_uint8(labels, cfg.label_modulus), with_bbox=False)
-        table = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, "model", axis=0, tiled=True)[
-                :bt
-            ].reshape(b, t, *a.shape[1:]),
-            table,
+        table = _sharded_stencil_tables(
+            motion, b, t, h, w_local * m, mesh, cfg, with_bbox
         )
         return table, iters
 
@@ -183,18 +161,14 @@ def sharded_localize_windows_gray(
     gray: (B, T, H, W) uint8 with B % mesh.shape['data'] == 0.
     Returns (RegionTable (B, T, 256), iters (B,)).
     """
+    from ..ops.rpca import ialm_gates_and_kwargs, motion_from_E, pad_pixels_for_fused
+
     B, T, H, W = gray.shape
     dtype = jnp.dtype(cfg.rpca_dtype)
     model = mesh.shape["model"]
     P_full = H * W
     P_pad = -(-P_full // model) * model
-    warm = cfg.rpca_warm_basis
-    fused = (
-        cfg.use_pallas_rpca
-        and not warm
-        and jax.default_backend() == "tpu"
-        and dtype == jnp.float32
-    )
+    fused, kwargs = ialm_gates_and_kwargs(cfg, dtype)
 
     X = gray.reshape(B, T, P_full)
     if P_pad != P_full:
@@ -214,57 +188,14 @@ def sharded_localize_windows_gray(
     )
     def body(local):
         b, t, p_local = local.shape
-        m = mesh.shape["model"]
-        Xl = local.astype(dtype)
-        if fused:
-            from ..ops.pallas.ialm_front import TILE
-
-            Pp = -(-p_local // TILE) * TILE
-            if Pp != p_local:
-                Xl = jnp.pad(Xl, ((0, 0), (0, 0), (0, Pp - p_local)))
-        x_sd = "uint8" if (cfg.rpca_store_x_u8 and not fused) else None
-        state_sd = (
-            "bfloat16"
-            if (cfg.rpca_state_bf16 and dtype == jnp.float32)
-            else None
-        )
-        _, E, iters = ialm_rpca_batched(
-            Xl,
-            lmbda=cfg.rpca_lambda,
-            tol=cfg.rpca_tol,
-            max_iter=cfg.rpca_max_iter,
-            rho=cfg.rpca_rho,
-            mu_cap=cfg.rpca_mu_cap,
-            axis_name="model",
-            fused_front=fused,
-            warm_basis=warm,
-            x_store_dtype=x_sd,
-            store_y_dtype=state_sd,
-            store_ae_dtype=state_sd,
-        )
-        motion_local = jnp.clip(-E[..., :p_local], 0.0, 255.0).astype(jnp.uint8)
-        # reassemble the flat pixel axis, drop the padding, then divide the
-        # stencil/CCL/table work across 'model' by frame slices
+        Xl = pad_pixels_for_fused(local.astype(dtype), fused)
+        _, E, iters = ialm_rpca_batched(Xl, axis_name="model", **kwargs)
+        motion_local = motion_from_E(E, p_local)
+        # reassemble the flat pixel axis, drop the mesh padding, then divide
+        # the stencil/CCL/table work across 'model' by frame slices
         motion = jax.lax.all_gather(motion_local, "model", axis=2, tiled=True)
-        bt = b * t
-        flat = motion[..., :P_full].reshape(bt, H, W)
-        btp = -(-bt // m) * m
-        if btp != bt:
-            flat = jnp.pad(flat, ((0, btp - bt), (0, 0), (0, 0)))
-        k = btp // m
-        mine = jax.lax.dynamic_slice_in_dim(
-            flat, jax.lax.axis_index("model") * k, k, axis=0
-        )
-        filtered = motion_postfilter(mine, cfg)
-        labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
-        table = region_tables(
-            wrap_labels_uint8(labels, cfg.label_modulus), with_bbox=with_bbox
-        )
-        table = jax.tree.map(
-            lambda a: jax.lax.all_gather(a, "model", axis=0, tiled=True)[
-                :bt
-            ].reshape(b, t, *a.shape[1:]),
-            table,
+        table = _sharded_stencil_tables(
+            motion[..., :P_full], b, t, H, W, mesh, cfg, with_bbox
         )
         return table, iters
 

@@ -83,12 +83,9 @@ def localize_windows_gray(
     B, T, H, W = gray.shape
     motion, iters = rpca_motion_window_batched(gray, cfg)
     flat = motion.reshape(B * T, H, W)
-    if cfg.use_pallas_postfilter and jax.default_backend() == "tpu":
-        from ..ops.pallas.fused_motion import fused_motion_filter
+    from ..ops.filtering import apply_postfilter
 
-        filtered = fused_motion_filter(flat, cfg)
-    else:
-        filtered = motion_postfilter(flat, cfg)
+    filtered = apply_postfilter(flat, cfg)
     labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
     labels_u8 = wrap_labels_uint8(labels, cfg.label_modulus)
     table = region_tables(labels_u8, with_bbox=with_bbox)
