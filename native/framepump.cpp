@@ -174,6 +174,9 @@ struct SwtAvi {
   std::vector<uint32_t> sizes;  // payload size of each video chunk
   size_t pos = 0;               // next frame index
   int width = 0, height = 0, total_header = 0;
+  int video_stream = -1;        // strl index of the vids stream (chunk ids
+                                // are "##dc"/"##db" with ## = that index —
+                                // audio-first AVIs put video at stream 01)
   double fps = 0.0;
 };
 
@@ -185,9 +188,13 @@ static bool tag_eq(const char t[4], const char* s) {
   return std::memcmp(t, s, 4) == 0;
 }
 
-// Scan the chunks of a list that ends at byte `end`; record video-stream
-// data chunks ("##dc"/"##db" of stream 00) and recurse into "rec " lists.
+// Scan the chunks of a list that ends at byte `end`; record the video
+// stream's data chunks ("##dc"/"##db" where ## is the stream's strl index)
+// and recurse into "rec " lists.
 static void scan_movi(SwtAvi* a, int64_t end, int64_t file_size) {
+  const int vs = a->video_stream < 0 ? 0 : a->video_stream;
+  const char c0 = static_cast<char>('0' + vs / 10);
+  const char c1 = static_cast<char>('0' + vs % 10);
   while (true) {
     int64_t at = ftell(a->f);
     if (at < 0 || at + 8 > end) break;
@@ -204,8 +211,8 @@ static void scan_movi(SwtAvi* a, int64_t end, int64_t file_size) {
       fseek(a->f, data_at + sz + (sz & 1), SEEK_SET);
       continue;
     }
-    if ((tag[2] == 'd' && (tag[3] == 'c' || tag[3] == 'b')) && tag[0] == '0' &&
-        tag[1] == '0' && sz > 0) {
+    if ((tag[2] == 'd' && (tag[3] == 'c' || tag[3] == 'b')) && tag[0] == c0 &&
+        tag[1] == c1 && sz > 0) {
       // a chunk cut off by file truncation is CLAMPED, not dropped:
       // libjpeg (like FFmpeg in cv2) salvages the partial scan data, so
       // the error accounting matches the cv2 path frame for frame
@@ -252,7 +259,8 @@ void* swt_avi_open(const char* path, int* n_frames, double* fps, int* width,
       if (!rd(f, kind, 4)) break;
       int64_t list_end = data_at + sz;
       if (tag_eq(kind, "hdrl")) {
-        // walk hdrl: avih + per-stream strl lists
+        // walk hdrl: avih + per-stream strl lists (in stream-index order)
+        int strl_index = -1;
         while (true) {
           int64_t hat = ftell(f);
           if (hat + 8 > list_end) break;
@@ -272,6 +280,7 @@ void* swt_avi_open(const char* path, int* n_frames, double* fps, int* width,
             char k2[4];
             if (!rd(f, k2, 4)) break;
             if (tag_eq(k2, "strl")) {
+              strl_index += 1;
               int64_t strl_end = d2 + s2;
               bool vids = false;
               while (true) {
@@ -287,6 +296,7 @@ void* swt_avi_open(const char* path, int* n_frames, double* fps, int* width,
                   if (rd(f, fcc, 8) && rd(f, v3, 24)) {
                     vids = std::memcmp(fcc, "vids", 4) == 0;
                     if (vids) {
+                      if (a->video_stream < 0) a->video_stream = strl_index;
                       if (std::memcmp(fcc + 4, "MJPG", 4) == 0 ||
                           std::memcmp(fcc + 4, "mjpg", 4) == 0)
                         mjpg = true;

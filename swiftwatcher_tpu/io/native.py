@@ -30,14 +30,23 @@ _tried = False
 
 def _build() -> bool:
     _CACHE.mkdir(parents=True, exist_ok=True)
+    # Compile to a per-process temp name and os.replace into place: a
+    # concurrent process must never dlopen a half-written .so (it would
+    # cache the failure via _tried and silently run the slow fallback).
+    tmp = _LIB_PATH.parent / f"{_LIB_PATH.name}.{os.getpid()}.tmp"
     cmd = [
         "g++", "-O3", "-march=native", "-shared", "-fPIC",
-        str(_SRC), "-o", str(_LIB_PATH), "-ljpeg", "-lpthread",
+        str(_SRC), "-o", str(tmp), "-ljpeg", "-lpthread",
     ]
     try:
         subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
         return True
-    except (subprocess.SubprocessError, FileNotFoundError):
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
         return False
 
 
@@ -47,11 +56,16 @@ def _load() -> Optional[ctypes.CDLL]:
         if _lib is not None or _tried:
             return _lib
         _tried = True
-        if not _LIB_PATH.exists() or (
+        stale = _LIB_PATH.exists() and (
             _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
-        ):
+        )
+        if not _LIB_PATH.exists() or stale:
             if not _SRC.exists() or not _build():
-                return None
+                # A failed rebuild of a STALE library (e.g. no g++ on a
+                # deploy host) should still use the existing, functional
+                # build rather than dropping to the slow fallback.
+                if not (stale and _LIB_PATH.exists()):
+                    return None
         try:
             lib = ctypes.CDLL(str(_LIB_PATH))
         except OSError:
@@ -234,7 +248,11 @@ def decode_window_gray(
     substitution (io_video.py:51-53)."""
     lib = _load()
     assert lib is not None
-    bufs = np.frombuffer(b"".join(bytes(e) for e in encoded_frames), np.uint8)
+    # single join, no per-element bytes() copy (payloads are bytes already)
+    bufs = np.frombuffer(
+        b"".join(e if isinstance(e, bytes) else bytes(e) for e in encoded_frames),
+        np.uint8,
+    )
     offsets = np.zeros(len(encoded_frames) + 1, np.int64)
     np.cumsum([len(e) for e in encoded_frames], out=offsets[1:])
     (x1, y1), (x2, y2) = crop_region

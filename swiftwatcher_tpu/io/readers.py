@@ -141,8 +141,11 @@ class HDF5Source(FrameSource):
         self._file = h5py.File(str(filepath), "r")
         self._dset = self._file["VideoFrames"]
         attrs = self._file.attrs if len(self._file.attrs) > 0 else self._dset.attrs
-        if len(attrs) == 0:
-            raise RuntimeError("HDF5 dataset does not carry CAP_PROP_* attrs.")
+        if attrs.get("CAP_PROP_FPS") is None or attrs.get("CAP_PROP_FRAME_COUNT") is None:
+            raise RuntimeError(
+                f"{filepath}: HDF5 file/dataset must carry CAP_PROP_FPS and "
+                "CAP_PROP_FRAME_COUNT attrs (see tools/make_h5_cache.py)"
+            )
         self.fps = float(attrs.get("CAP_PROP_FPS"))
         self.start_frame = start
         self.end_frame = end if end > 0 else int(attrs.get("CAP_PROP_FRAME_COUNT"))
@@ -154,11 +157,16 @@ class HDF5Source(FrameSource):
 
         try:
             encoded = self._dset[frame_number]
+            if np.asarray(encoded).size == 0:
+                # an unwritten vlen slot reads back zero-length without
+                # raising; cv2 5.0's imdecode would raise on it
+                raise ValueError("empty encoded slot")
             frame = cv2.imdecode(encoded, cv2.IMREAD_COLOR)
-        except (ValueError, IndexError):
+        except (ValueError, IndexError, cv2.error):
             # old h5py raised ValueError (which the reference catches at
-            # io_video.py:123); modern h5py raises IndexError — same
-            # decode-failure semantics either way
+            # io_video.py:123); modern h5py raises IndexError; a corrupt or
+            # empty buffer raises cv2.error — same decode-failure fallback
+            # semantics for all three
             frame = None
         if increment:
             self.next_frame_number += 1
@@ -183,6 +191,10 @@ class HDF5Source(FrameSource):
                 continue
             try:
                 enc = bytes(np.asarray(self._dset[fn]))
+                if not enc:
+                    # unwritten vlen slot: undecodable, must not poison
+                    # _last_encoded or count as a successful read
+                    raise ValueError("empty encoded slot")
                 self._last_encoded = enc
                 self.frames_read += 1
             except (ValueError, IndexError):
@@ -236,6 +248,15 @@ class VideoFileSource(FrameSource):
             import cv2
 
             self._cap = cv2.VideoCapture(str(filepath))
+            if not self._cap.isOpened():
+                # an unopened capture reports fps=0 / count=0 and every
+                # frame read fails; surface the bad path NOW instead of
+                # "succeeding" with zero frames (and frame_timestamp
+                # dividing by fps=0 later)
+                raise RuntimeError(
+                    f"{filepath}: cv2.VideoCapture could not open the file "
+                    "(missing, unreadable, or unsupported container)"
+                )
             self._cap.grab()  # prime so retrieve() works for frame 0
             self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
             self.start_frame = 0

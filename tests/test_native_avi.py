@@ -145,3 +145,65 @@ def test_random_bytes_never_crash_open(tmp_path, rng):
         if r is not None:  # if the fuzz happened to parse, reads must not crash
             r.read()
             r.close()
+
+
+def _chunk(tag: bytes, payload: bytes) -> bytes:
+    pad = b"\x00" if len(payload) % 2 else b""
+    return tag + len(payload).to_bytes(4, "little") + payload + pad
+
+
+def _list(kind: bytes, payload: bytes) -> bytes:
+    return _chunk(b"LIST", kind + payload)
+
+
+def _write_audio_first_mjpg(path, frames, fps=30.0):
+    """Hand-built AVI with an AUDIO strl BEFORE the video strl, so video
+    data chunks are '01dc' — the layout muxers emit for camera files with
+    sound.  (cv2.VideoWriter only writes video-only AVIs.)"""
+    import struct
+
+    h, w = frames.shape[1:3]
+    jpegs = [
+        cv2.imencode(".jpg", f, [cv2.IMWRITE_JPEG_QUALITY, 95])[1].tobytes()
+        for f in frames
+    ]
+    avih = struct.pack(
+        "<10I", int(1e6 / fps), 0, 0, 0, len(jpegs), 0, 2, 0, w, h
+    ) + b"\x00" * 16
+    strh_auds = struct.pack("<4s4s6I", b"auds", b"\x00" * 4, 0, 0, 0, 1, 8000, 0) + b"\x00" * 28
+    strf_auds = b"\x00" * 16
+    strl_auds = _list(b"strl", _chunk(b"strh", strh_auds) + _chunk(b"strf", strf_auds))
+    strh_vids = struct.pack(
+        "<4s4s6I", b"vids", b"MJPG", 0, 0, 0, 100, int(fps * 100), 0
+    ) + b"\x00" * 28
+    strf_vids = struct.pack("<IiiHH4s", 40, w, h, 1, 24, b"MJPG") + b"\x00" * 20
+    strl_vids = _list(b"strl", _chunk(b"strh", strh_vids) + _chunk(b"strf", strf_vids))
+    hdrl = _list(b"hdrl", _chunk(b"avih", avih) + strl_auds + strl_vids)
+    movi = _list(b"movi", b"".join(_chunk(b"01dc", j) for j in jpegs))
+    riff_body = b"AVI " + hdrl + movi
+    path.write_bytes(b"RIFF" + len(riff_body).to_bytes(4, "little") + riff_body)
+
+
+def test_audio_first_stream_index(tmp_path):
+    """Video at stream 01 (audio strl listed first) must still parse: the
+    chunk id follows the vids strl's index, not a hardcoded '00'."""
+    video = make_video(seed=5, n_frames=8, H=48, W=64, n_entering=0, n_crossing=0)
+    p = tmp_path / "audio_first.avi"
+    _write_audio_first_mjpg(p, video.frames, video.fps)
+    r = native.AVIReader.open(p)
+    assert r is not None, "audio-first MJPG AVI rejected by the native parser"
+    assert r.n_frames == 8
+    assert abs(r.fps - video.fps) < 1e-6
+    got = 0
+    while True:
+        f = r.read()
+        if f is None:
+            break
+        ref = cv2.imdecode(
+            cv2.imencode(".jpg", video.frames[got], [cv2.IMWRITE_JPEG_QUALITY, 95])[1],
+            cv2.IMREAD_COLOR,
+        )
+        assert f.shape == ref.shape
+        got += 1
+    r.close()
+    assert got == 8

@@ -4,6 +4,7 @@ null-frame padding — the reference's I/O quirks (io_video.py)."""
 import cv2
 import h5py
 import numpy as np
+import pytest
 
 from swiftwatcher_tpu.io.readers import ArraySource, HDF5Source, open_source
 from swiftwatcher_tpu.io.synthetic import make_video
@@ -76,6 +77,44 @@ def test_make_h5_cache_tool(tmp_path):
     cached = run_video(HDF5Source(out), video.corners, DEFAULT_CONFIG)
     assert cached.total_predicted == base.total_predicted
     assert cached.total_rejected == base.total_rejected
+
+
+def test_hdf5_empty_slot_falls_back(tmp_path):
+    """An unwritten vlen slot (make_h5_cache skips undecodable frames)
+    reads back zero-length without raising; the reader must take the
+    decode-failure fallback (substitute last good, count the error), not
+    crash in cv2.imdecode."""
+    import h5py
+
+    video = make_video(seed=2, n_frames=6, H=40, W=56, n_entering=0, n_crossing=0)
+    p = tmp_path / "holes.h5"
+    dt = h5py.vlen_dtype(np.uint8)
+    with h5py.File(p, "w") as fh:
+        d = fh.create_dataset("VideoFrames", (6,), dtype=dt)
+        fh.attrs["CAP_PROP_FPS"] = 30.0
+        fh.attrs["CAP_PROP_FRAME_COUNT"] = 6
+        for i, f in enumerate(video.frames):
+            if i == 3:
+                continue  # hole
+            d[i] = np.frombuffer(cv2.imencode(".png", f)[1].tobytes(), np.uint8)
+
+    src = HDF5Source(p)
+    frames = [src.get_frame()[0] for _ in range(6)]
+    assert src.read_errors == 1
+    np.testing.assert_array_equal(frames[3], frames[2])  # last-good substitute
+
+    # encoded-window path: the hole must not poison _last_encoded either
+    src2 = HDF5Source(p)
+    bufs, numbers, stamps = src2.get_encoded_window(6)
+    assert bufs[3] == bufs[2] and bufs[3] is not None
+    assert src2.frames_read == 5 and src2.read_errors == 1
+
+
+def test_video_file_source_unopened_raises(tmp_path):
+    from swiftwatcher_tpu.io.readers import VideoFileSource
+
+    with pytest.raises(RuntimeError, match="could not open"):
+        VideoFileSource(tmp_path / "nope.mp4", backend="cv2")
 
 
 def test_inclusive_end_duplicates_last_frame(tmp_path):

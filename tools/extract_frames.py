@@ -31,19 +31,30 @@ def main(argv=None):
 
     src_path = Path(args.video)
     source = open_source(src_path, start=args.start, end=args.end)
-    out_base = Path(args.out) if args.out else src_path.parent / src_path.stem / "frames"
+    # --out replaces only the PARENT; the <stem>/frames subtree the module
+    # docstring promises (the reference's template) is always kept, so
+    # annotation tooling finds the frames either way
+    parent = Path(args.out) if args.out else src_path.parent
+    out_base = parent / src_path.stem / "frames"
 
-    n = 0
+    n = skipped = 0
     while source.next_frame_number < source.end_frame:
         frame, num, _ = source.get_frame()
         if num < 0:
             break
+        if frame is None:
+            # read error before any successful read: nothing to substitute
+            skipped += 1
+            continue
         group = (num // args.group_size) * args.group_size
         d = out_base / f"{group}-{group + args.group_size - 1}"
         d.mkdir(parents=True, exist_ok=True)
         cv2.imwrite(str(d / f"{src_path.stem}_{num}.png"), frame)
         n += 1
-    print(f"wrote {n} frames under {out_base}")
+    msg = f"wrote {n} frames under {out_base}"
+    if skipped:
+        msg += f" ({skipped} unreadable frames skipped)"
+    print(msg)
     return 0
 
 
