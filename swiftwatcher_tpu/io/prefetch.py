@@ -57,6 +57,14 @@ class WindowPrefetcher:
         self._frame_hw = frame_hw
         self._last_good_crop = None
         if self._encoded_mode:
+            # The native pump decodes JPEG only; a cache of PNG (or other)
+            # payloads must take the cv2 path — without this sniff every
+            # frame would fail decode and the run would "succeed" with
+            # zero counts.
+            head = source.peek_encoded(source.start_frame)
+            if head is None or not head.startswith(b"\xff\xd8"):
+                self._encoded_mode = False
+        if self._encoded_mode:
             if self._frame_hw is None:
                 # caller didn't know the frame size; probe with one decode
                 first = source.read_frame(source.start_frame, increment=False)

@@ -172,6 +172,15 @@ class HDF5Source(FrameSource):
             self.next_frame_number += 1
         return frame
 
+    def peek_encoded(self, frame_number: int):
+        """Encoded payload bytes without any reader bookkeeping (None on a
+        missing/empty slot) — lets callers sniff the codec up front."""
+        try:
+            enc = bytes(np.asarray(self._dset[frame_number]))
+            return enc or None
+        except (ValueError, IndexError):
+            return None
+
     def get_encoded_window(self, n: int):
         """Window of ENCODED frame buffers with FrameReader bookkeeping.
 

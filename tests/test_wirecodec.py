@@ -203,6 +203,66 @@ def test_e2e_codec_with_device_tracker_and_mesh():
     assert combo.metrics.wire_bytes < base.metrics.wire_bytes
 
 
+def _h5_of(tmp_path, video, ext):
+    import cv2
+    import h5py
+    import numpy as np
+
+    p = tmp_path / f"clip_{ext}.h5"
+    dt = h5py.vlen_dtype(np.uint8)
+    with h5py.File(p, "w") as fh:
+        d = fh.create_dataset("VideoFrames", (len(video.frames),), dtype=dt)
+        fh.attrs["CAP_PROP_FPS"] = video.fps
+        fh.attrs["CAP_PROP_FRAME_COUNT"] = len(video.frames)
+        for i, f in enumerate(video.frames):
+            d[i] = np.frombuffer(
+                cv2.imencode(f".{ext}", f)[1].tobytes(), np.uint8
+            )
+    return p
+
+
+def test_codec_composes_with_native_hdf5_decode(tmp_path):
+    """cfg.native_decode + delta4 transport.
+
+    PNG payloads: the native pump is JPEG-only, so the prefetcher must
+    SNIFF the codec and fall back to cv2 decode — counts equal the plain
+    run (regression: it used to fail every decode and 'succeed' with zero
+    counts).  JPEG payloads: the native fast path engages and the run
+    produces events with the codec's reduced wire bytes."""
+    from swiftwatcher_tpu.io import native
+    from swiftwatcher_tpu.io.readers import HDF5Source
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    if not native.is_available():
+        pytest.skip("native library unavailable")
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    combo_cfg = dataclasses.replace(
+        DEFAULT_CONFIG, wire_codec="delta4", native_decode=True
+    )
+
+    png = _h5_of(tmp_path, video, "png")
+    base = run_video(
+        HDF5Source(png), video.corners,
+        dataclasses.replace(DEFAULT_CONFIG, wire_codec="off"),
+    )
+    combo = run_video(HDF5Source(png), video.corners, combo_cfg)
+    assert combo.total_predicted == base.total_predicted == 2
+    assert combo.total_rejected == base.total_rejected
+    assert combo.metrics.wire_bytes < base.metrics.wire_bytes
+    assert combo.metrics.read_errors == 0
+
+    # JPEG payloads take the true native fast path (libjpeg IDCT may differ
+    # from cv2 by +-1 count per pixel — documented opt-in — so assert
+    # behavior, not bit-equality)
+    jpg = _h5_of(tmp_path, video, "jpg")
+    njpg = run_video(HDF5Source(jpg), video.corners, combo_cfg)
+    assert njpg.frames_processed == 63
+    assert len(njpg.events) > 0
+    assert njpg.metrics.read_errors == 0
+
+
 def test_checkpoint_resume_with_codec(tmp_path):
     """delta4 transport composes with checkpoint/resume: a run interrupted
     mid-video and resumed equals the uninterrupted run."""
