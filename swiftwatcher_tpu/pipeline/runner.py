@@ -281,6 +281,7 @@ def run_video(
                     fns,
                     cfg,
                     active=active,
+                    chunk=cfg.track_scan_chunk,
                 )
             if profiling:
                 import time as _time

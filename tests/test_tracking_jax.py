@@ -81,3 +81,42 @@ def test_device_tracking_matches_host():
     for d, h in zip(dev_events, host_events):
         assert d[0] == h[0]
         np.testing.assert_allclose(d[1:], h[1:], atol=1e-3)
+
+
+def test_chunked_scan_matches_per_frame(rng):
+    """track_window's chunked scan (empty-sky fast path over whole chunks)
+    must be output-identical to the per-frame scan for any mix of empty,
+    busy, and inactive frames."""
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.pipeline.tracking_jax import empty_state, track_window
+
+    K = DEFAULT_CONFIG.max_tracks
+    roi = np.zeros((64, 96), np.uint8)
+    roi[0:16, 30:60] = 255
+    roi_d = jnp.asarray(roi)
+
+    for trial in range(6):
+        T = int(rng.integers(9, 45))            # exercises chunk padding
+        cys = rng.uniform(0, 64, (T, K)).astype(np.float32)
+        cxs = rng.uniform(0, 96, (T, K)).astype(np.float32)
+        valids = np.zeros((T, K), bool)
+        # sparse bursts of segments with empty stretches between
+        for t in range(T):
+            if rng.random() < 0.3:
+                valids[t, : int(rng.integers(1, 4))] = True
+        active = rng.random(T) > 0.15
+        fns = np.arange(T, dtype=np.int32)
+
+        args = (
+            empty_state(K), roi_d,
+            jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids),
+            jnp.asarray(fns), DEFAULT_CONFIG, jnp.asarray(active),
+        )
+        s1, e1 = track_window(*args, chunk=1)
+        s8, e8 = track_window(*args, chunk=8)
+        for a, b in zip(jax.tree.leaves((s1, e1)), jax.tree.leaves((s8, e8))):
+            np.testing.assert_array_equal(
+                np.asarray(a), np.asarray(b), err_msg=f"trial {trial}"
+            )
