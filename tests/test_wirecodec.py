@@ -263,6 +263,31 @@ def test_codec_composes_with_native_hdf5_decode(tmp_path):
     assert njpg.metrics.read_errors == 0
 
 
+def test_e2e_escape_overflow_falls_back_raw():
+    """A scene change that blows the escape budget (here: forced via a tiny
+    cap) must degrade to raw batches mid-run with identical counts — the
+    codec can never be a correctness hazard."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    base = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        dataclasses.replace(DEFAULT_CONFIG, wire_codec="off"),
+    )
+    tiny = dataclasses.replace(
+        DEFAULT_CONFIG, wire_codec="delta4", wire_escape_cap=1
+    )
+    res = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, tiny
+    )
+    assert res.total_predicted == base.total_predicted
+    assert res.total_rejected == base.total_rejected
+    # every batch fell back: wire bytes match the raw run exactly
+    assert res.metrics.wire_bytes == base.metrics.wire_bytes
+
+
 def test_checkpoint_resume_with_codec(tmp_path):
     """delta4 transport composes with checkpoint/resume: a run interrupted
     mid-video and resumed equals the uninterrupted run."""
