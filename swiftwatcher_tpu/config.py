@@ -112,10 +112,11 @@ class PipelineConfig:
     # bit-accurate checks.
     rpca_dtype: str = "float32"
     # Number of host prefetch buffers for window streaming.  Measured on the
-    # v5e rig (warm programs, device tracker): depth 4 beats 2 in BOTH wire
-    # modes (raw 300->327 fps, delta4 379->415) — deeper queueing absorbs
-    # the link's latency jitter; host cost is ~32 MB of staging per slot.
-    prefetch_depth: int = 4
+    # v5e rig (warm programs, device tracker, best-of-3): depth 2 -> 379
+    # fps, 4 -> 503, 6 -> 530, 8 -> 505 with the delta4 codec — deeper
+    # queueing absorbs the link's latency jitter until the extra staging
+    # slots start competing with it; host cost is <= ~32 MB per slot.
+    prefetch_depth: int = 6
     # Windows per device dispatch: amortizes host->device round-trip latency
     # (the per-call overhead dwarfs compute for a single 21-frame window).
     # Swept end-to-end on the v5e rig: 4 -> 179 fps, 8 -> 257, 16 -> 338,
