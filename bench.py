@@ -17,6 +17,7 @@ Usage: python bench.py [--frames N] [--warmup-frames N]
 """
 
 import argparse
+import dataclasses
 import json
 import os
 import sys
@@ -62,6 +63,21 @@ def _window_batch(cfg, video, to_gray: bool, w_use=None):
     return jax.device_put(np.stack(wins))
 
 
+def _time_device_loop(run_k, batch, frames, B, T):
+    """Compile-warm then time ONE dispatch running n_batches loop bodies
+    (see resident_fps's docstring for why single-dispatch matters on this
+    rig); the int() readbacks force completion."""
+    import jax.numpy as jnp
+
+    int(run_k(batch, jnp.int32(1)))  # compile + warm (forced readback)
+    n_batches = max(frames // (B * T), 1)
+    start = time.perf_counter()
+    out = int(run_k(batch, jnp.int32(n_batches)))  # readback = completion
+    elapsed = time.perf_counter() - start
+    assert out >= 0
+    return n_batches * B * T / elapsed
+
+
 def resident_fps(cfg, video, frames=13440):
     """On-chip localization throughput with device-resident gray windows.
 
@@ -100,13 +116,7 @@ def resident_fps(cfg, video, frames=13440):
 
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    int(run_k(batch, jnp.int32(1)))  # compile + warm (forced readback)
-    n_batches = max(frames // (B * T), 1)
-    start = time.perf_counter()
-    out = int(run_k(batch, jnp.int32(n_batches)))  # readback = completion
-    elapsed = time.perf_counter() - start
-    assert out >= 0
-    return n_batches * B * T / elapsed
+    return _time_device_loop(run_k, batch, frames, B, T)
 
 
 def resident_tracked_fps(cfg, video, frames=13440):
@@ -159,13 +169,7 @@ def resident_tracked_fps(cfg, video, frames=13440):
         _, out = jax.lax.fori_loop(0, k, body, (st0, jnp.int32(0)))
         return out
 
-    int(run_k(batch, jnp.int32(1)))  # compile + warm
-    n_batches = max(frames // (B * T), 1)
-    start = time.perf_counter()
-    out = int(run_k(batch, jnp.int32(n_batches)))
-    elapsed = time.perf_counter() - start
-    assert out >= 0
-    return n_batches * B * T / elapsed
+    return _time_device_loop(run_k, batch, frames, B, T)
 
 
 def sharded_resident_fps(cfg, video, frames=6720):
@@ -185,9 +189,7 @@ def sharded_resident_fps(cfg, video, frames=6720):
     # crop width must tile over 'model' (this width-sharded path; the
     # runner's flat-pixel mesh mode has no such constraint)
     w_use = (x2 - x1) // model * model
-    import dataclasses as _dc
-
-    bcfg = _dc.replace(
+    bcfg = dataclasses.replace(
         cfg, batch_windows=max(cfg.batch_windows // data * data, data)
     )
     B, T = bcfg.batch_windows, bcfg.window_size
@@ -213,13 +215,7 @@ def sharded_resident_fps(cfg, video, frames=6720):
 
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
-    int(run_k(batch, jnp.int32(1)))  # compile + warm
-    n_batches = max(frames // (B * T), 1)
-    start = time.perf_counter()
-    out = int(run_k(batch, jnp.int32(n_batches)))
-    elapsed = time.perf_counter() - start
-    assert out >= 0
-    return n_batches * B * T / elapsed, (data, model)
+    return _time_device_loop(run_k, batch, frames, B, T), (data, model)
 
 
 def main():
@@ -242,8 +238,6 @@ def main():
     )
     args = ap.parse_args()
 
-    import dataclasses
-
     cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=args.batch_windows)
 
     # Reference-like 1080p scene: ~400 px chimney -> ~500 x 250 crop.
@@ -258,9 +252,7 @@ def main():
     )
 
     if args.resident:
-        import dataclasses as _dc
-
-        rcfg = _dc.replace(cfg, batch_windows=max(args.batch_windows, 32))
+        rcfg = dataclasses.replace(cfg, batch_windows=max(args.batch_windows, 32))
         fps = resident_fps(rcfg, video, frames=args.frames)
         print(
             json.dumps(
@@ -301,12 +293,10 @@ def main():
     # Supplementary: on-chip throughput with device-resident windows (this
     # rig's host link is a ~36 MB/s tunnel, ~1000x below a real v5e host
     # interface, so the end-to-end number is transfer-bound here).
-    import dataclasses as _dc
-
-    r_fps = resident_fps(_dc.replace(cfg, batch_windows=64), video, frames=13440)
-    rt_fps = resident_tracked_fps(_dc.replace(cfg, batch_windows=32), video)
+    r_fps = resident_fps(dataclasses.replace(cfg, batch_windows=64), video, frames=13440)
+    rt_fps = resident_tracked_fps(dataclasses.replace(cfg, batch_windows=32), video)
     s_fps, mesh_shape = sharded_resident_fps(
-        _dc.replace(cfg, batch_windows=64), video
+        dataclasses.replace(cfg, batch_windows=64), video
     )
 
     # Host-link arithmetic for the e2e cap: publish the MEASURED bytes the

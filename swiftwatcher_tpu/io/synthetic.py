@@ -25,45 +25,32 @@ class SyntheticVideo:
     n_vanishing: int                   # distractors that vanish inside the ROI
 
 
-class LoopingArraySource:
+from .readers import ArraySource
+
+
+class LoopingArraySource(ArraySource):
     """Benchmark source: serves `total` frames by cycling a base clip.
 
-    Keeps host memory bounded for long benchmark runs (e.g. 840 frames of
-    1080p) while exercising the full reader semantics via ArraySource's
-    interface contract."""
+    Keeps host memory bounded for long benchmark runs (e.g. 33k frames of
+    1080p) while inheriting the full FrameSource contract — get_frame/
+    get_window semantics, checkpoint seek, fingerprints — as a plain
+    subclass (the earlier __getattr__/__setattr__ delegation proxy
+    silently shadowed attribute writes; ADVICE r1)."""
 
     def __init__(self, base_frames: np.ndarray, total: int, fps: float = 30.0):
-        from .readers import ArraySource
+        super().__init__(np.asarray(base_frames, np.uint8), fps=fps)
+        self.end_frame = total
+        self.total_frames = total
 
-        self._base = np.asarray(base_frames, np.uint8)
-        self._inner = ArraySource(self._base, fps=fps)
-        self._inner.end_frame = total
-        self._inner.total_frames = total
-        self._inner.read_frame = self._read_frame  # type: ignore[assignment]
-        self._total = total
-
-    def _read_frame(self, frame_number: int, increment: bool = True):
+    def read_frame(self, frame_number: int, increment: bool = True):
         frame = (
-            self._base[frame_number % len(self._base)]
-            if frame_number < self._total
+            self._frames[frame_number % len(self._frames)]
+            if frame_number < self.total_frames
             else None
         )
         if increment:
-            self._inner.next_frame_number += 1
+            self.next_frame_number += 1
         return frame
-
-    def __getattr__(self, name):
-        return getattr(self._inner, name)
-
-    def __setattr__(self, name, value):
-        # Reader state writes (e.g. run_video's checkpoint-resume sets
-        # source.next_frame_number) must reach the inner ArraySource — a
-        # read-only __getattr__ proxy would silently shadow them on the
-        # wrapper and the resume would not seek.
-        if name.startswith("_") or "_inner" not in self.__dict__:
-            object.__setattr__(self, name, value)
-        else:
-            setattr(self._inner, name, value)
 
 
 def make_video(
@@ -116,13 +103,15 @@ def make_video(
         + [("cross", k) for k in range(n_crossing)]
     )
     paths = []  # list of (t0, t1, y(t), x(t))
+    realized = {"enter": 0, "vanish": 0, "cross": 0}
     if kinds:
         block = max((n_frames - 4) // len(kinds), 8)
         for i, (kind, k) in enumerate(kinds):
             t0 = 2 + i * block
             length = min(12, block - 3, n_frames - t0 - 2)
             if length < 3:
-                continue
+                continue  # clip too short for this actor (counts adjust)
+            realized[kind] += 1
             if kind == "enter":
                 # steep, consistent dives into the mouth (real swifts enter
                 # near-vertically; the classifier's mode band is +/-30 deg).
@@ -158,11 +147,14 @@ def make_video(
                     f[y : y + dot, x : x + dot] -= amp
         frames[t] = np.clip(f, 0, 255)
 
+    # ground truth reports REALIZED actors: a clip too short for its full
+    # cast silently dropping an actor while claiming the requested count
+    # would make downstream count assertions chase phantom birds
     return SyntheticVideo(
         frames=frames.astype(np.uint8),
         corners=corners,
         fps=fps,
-        n_entering=n_entering,
-        n_crossing=n_crossing,
-        n_vanishing=n_vanishing,
+        n_entering=realized["enter"],
+        n_crossing=realized["cross"],
+        n_vanishing=realized["vanish"],
     )

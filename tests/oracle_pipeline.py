@@ -194,7 +194,10 @@ def reference_pipeline(frames, corners, fps=30.0, window=21):
         angles.append(math.degrees(math.atan2(dy, dx)))
     kept = [(a, ev) for a, ev in zip(angles, events) if a % 15 != 0]
     if not kept:
-        return events, []
+        # all angles filtered: the reference's filter_false_angles drops
+        # every row, leaving an empty labels dataframe — return the same
+        # (kept-events, labels) shape as the normal branch, i.e. nothing
+        return [], []
     ks = np.array([a for a, _ in kept])
     hist, edges = np.histogram(ks, bins=36, range=[-180 - EPS, 180 + EPS])
     i_max = int(np.argmax(hist))

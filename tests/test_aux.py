@@ -135,18 +135,24 @@ def test_research_csv_roundtrip(tmp_path):
     assert back["centroid"].iloc[1] == [[7.0, 9.0]]
 
 
-def test_looping_source_delegates_attribute_writes(video):
+def test_looping_source_attribute_writes_and_seek(video):
     # Checkpoint resume does `source.next_frame_number = ...` (runner.py);
-    # the wrapper must forward reader-state WRITES to the inner ArraySource,
-    # not shadow them (ADVICE r1).
+    # the looping source is a plain ArraySource subclass so reader-state
+    # writes land directly (the earlier proxy shadowed them; ADVICE r1).
     from swiftwatcher_tpu.io.synthetic import LoopingArraySource
 
     src = LoopingArraySource(video.frames, total=126, fps=video.fps)
     src.next_frame_number = 42
-    assert src._inner.next_frame_number == 42
     assert src.next_frame_number == 42
-    # reads still delegate
     assert src.total_frames == 126
+    assert src.supports_seek
+    f, num, _ = src.get_frame()
+    assert num == 42
+    np.testing.assert_array_equal(f, video.frames[42 % len(video.frames)])
+    # loops past the base clip up to `total`
+    src.next_frame_number = 125
+    f, num, _ = src.get_frame()
+    assert num == 125 and f is not None
 
 
 def test_device_tracker_fallback_warns(tmp_path, video):

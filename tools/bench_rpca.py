@@ -86,13 +86,32 @@ def main():
     ap.add_argument(
         "--variants",
         nargs="*",
-        default=["warm", "cold"],
-        help="names: cold, warm, warm-bf16xy, warm-bf16all, ... (see VARIANTS)",
+        default=["production", "warm", "cold"],
+        help="names: production (the shipped config, derived from "
+        "ialm_gates_and_kwargs), cold, warm, warm-bf16all, ... (see VARIANTS)",
     )
     args = ap.parse_args()
 
+    # the SHIPPED configuration, derived from the same gate helper the
+    # pipeline uses (never hand-duplicate the knob plumbing here: it
+    # drifted once — 'warm' alone is NOT the production default)
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.ops.rpca import ialm_gates_and_kwargs
+
+    _, prod_kwargs = ialm_gates_and_kwargs(
+        DEFAULT_CONFIG, jnp.dtype(DEFAULT_CONFIG.rpca_dtype)
+    )
+    prod = {
+        k: v
+        for k, v in prod_kwargs.items()
+        if k in ("warm_basis", "fused_front", "x_store_dtype",
+                 "store_y_dtype", "store_ae_dtype")
+    }
+
     VARIANTS = {
-        # production default (rpca_warm_basis=True)
+        "production": prod,
         "warm": dict(warm_basis=True),
         "cold": dict(warm_basis=False),
         # storage-dtype experiments (CLAUDE.md backlog #3)
