@@ -119,9 +119,10 @@ class PipelineConfig:
     prefetch_depth: int = 6
     # Windows per device dispatch: amortizes host->device round-trip latency
     # (the per-call overhead dwarfs compute for a single 21-frame window).
-    # Swept end-to-end on the v5e rig: 4 -> 179 fps, 8 -> 257, 16 -> 338,
-    # 32 -> 282, 64 -> 260 — 16 balances dispatch amortization against
-    # transfer granularity (bigger uploads overlap worse on a slow link).
+    # Swept end-to-end on the v5e rig (delta4 codec, depth-6 prefetch,
+    # best-of-3): 8 -> 358 fps, 12 -> 402, 16 -> 480, 24 -> 423 — 16
+    # balances dispatch amortization against transfer granularity (bigger
+    # uploads overlap worse on a slow link).
     batch_windows: int = 16
     # Use the fused Pallas motion-filter kernel on TPU (bit-identical to the
     # XLA chain; one HBM round trip instead of four).
