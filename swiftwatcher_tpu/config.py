@@ -158,18 +158,27 @@ class PipelineConfig:
     native_decode: bool = False
     # ----- wire transport (io/wirecodec.py) ---------------------------------
     # Host->device transport for the gray window batches: "off" ships raw
-    # uint8; "delta4" ships bit-lossless 4-bit temporal deltas (~2x fewer
-    # bytes on realistic sensor noise, decoded on device ahead of the
-    # localization program); "auto" measures the first batch's upload rate
-    # and enables delta4 below wire_auto_mbps — on a real >10 GB/s v5e host
-    # link raw wins (the host encode would cost more than it saves), on a
-    # network-camera hop or this rig's ~36 MB/s tunnel delta4 ~doubles e2e.
+    # uint8; "delta6" (wire codec v2) ships bit-lossless predictive base-6
+    # residuals (~2.9 bits/pixel on the bench scene vs the residual stream's
+    # ~2.6 bit/pixel entropy floor — 34.0 KB/frame vs raw 93.3, delta4
+    # 47.8); "delta4" is the simpler fixed 4-bit v1 format; "auto" measures
+    # the upload link rate (best of 3 probes) and enables delta6 below
+    # wire_auto_mbps — on a real >10 GB/s v5e host link raw wins (the host
+    # encode would cost more than it saves), on a network-camera hop or
+    # this rig's ~36 MB/s tunnel the codec ~tripled e2e.  All formats
+    # decode on device as a prologue of the localization program.
     wire_codec: str = "auto"
     # Capacity of the per-batch escape side stream (residuals outside
     # [-7, 7]: moving birds, exposure steps).  Overflow falls back to a raw
     # upload for that batch — correctness never depends on content.
     wire_escape_cap: int = 65536
     wire_auto_mbps: float = 1000.0
+    # delta6 stream-size bucket quanta (bytes / entries): variable-length
+    # level-2/3 streams pad up to monotonic multiples of these so the
+    # decode program shape set stays tiny (one in steady state; see
+    # io/prefetch.py).  Shipped padding is <= one quantum per stream.
+    wire_lvl2_quantum: int = 131072
+    wire_esc3_quantum: int = 4096
     # Frames per device-tracker scan step (pipeline/tracking_jax.py).
     # 1 = per-frame (best for scenes with segments in most frames, e.g.
     # the synthetic bench); 8 skips empty-sky stretches a chunk at a time

@@ -53,6 +53,12 @@ def _grouped_counts(df_labels: pd.DataFrame, predicate, name: str) -> pd.DataFra
     g = sel.reset_index().groupby(["timestamp", "framenumber"]).sum()
     g = g.drop(columns=["angle", "label"])
     g.columns = [name]
+    if g.empty:
+        # pandas quirk: combine_first with an EMPTY other casts the combined
+        # frame to other.dtypes — int64 would choke on the timeline's None
+        # placeholders.  A run whose events are all one class (e.g. zero
+        # rejected) must still export.
+        g = g.astype(object)
     return g
 
 

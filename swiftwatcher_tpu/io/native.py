@@ -99,18 +99,40 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.swt_avi_read_bgr.restype = ctypes.c_int
         lib.swt_avi_close.argtypes = [ctypes.c_void_p]
-        lib.swt_encode_delta4.argtypes = [
-            u8p, ctypes.c_int64, ctypes.c_int64, u8p,
-            ctypes.POINTER(ctypes.c_int32), u8p,
-            ctypes.c_int64, ctypes.c_int,
-        ]
-        lib.swt_encode_delta4.restype = ctypes.c_int64
+        # Symbols added after the first release bind OPTIONALLY: a stale
+        # cached .so on a host without g++ (the stale-rebuild fallback
+        # above) must degrade to the numpy paths, not crash is_available()
+        # with an AttributeError (ADVICE r2).
+        enc4 = getattr(lib, "swt_encode_delta4", None)
+        if enc4 is not None:
+            enc4.argtypes = [
+                u8p, ctypes.c_int64, ctypes.c_int64, u8p,
+                ctypes.POINTER(ctypes.c_int32), u8p,
+                ctypes.c_int64, ctypes.c_int,
+            ]
+            enc4.restype = ctypes.c_int64
+        enc6 = getattr(lib, "swt_encode_delta6", None)
+        if enc6 is not None:
+            i64 = ctypes.c_int64
+            enc6.argtypes = [
+                u8p, i64, i64, ctypes.c_int, u8p, u8p, u8p, u8p, i64,
+                ctypes.POINTER(i64), ctypes.POINTER(ctypes.c_int32), u8p,
+                i64, ctypes.POINTER(i64), ctypes.c_int,
+            ]
+            enc6.restype = ctypes.c_int
         _lib = lib
         return _lib
 
 
 def is_available() -> bool:
     return _load() is not None
+
+
+def has_symbol(name: str) -> bool:
+    """True when the loaded library exports `name` (stale cached builds may
+    predate newer entry points; callers fall back to numpy)."""
+    lib = _load()
+    return lib is not None and getattr(lib, name, None) is not None
 
 
 def _u8ptr(a: np.ndarray):
@@ -215,13 +237,50 @@ class AVIReader:
             pass
 
 
+def encode_delta6(
+    gray2d: np.ndarray,
+    escape_cap: int,
+    mode: int = -1,
+    n_threads: int = 4,
+):
+    """Threaded C twin of io/wirecodec.py:encode_delta6 (bit-identical).
+
+    gray2d: (N, P) uint8 contiguous flattened frames.  mode: -1 = pick the
+    cheaper predictor, 0 = batch mean, 1 = previous frame.  Returns
+    (mode, bg, lvl1, lvl2, esc_idx, esc_val) with lvl2 sliced to its exact
+    (>=1 byte) size, or None on level-3 escape overflow."""
+    lib = _load()
+    assert lib is not None and has_symbol("swt_encode_delta6")
+    N, P = gray2d.shape
+    pp3 = (P + 2) // 3
+    mode_out = np.zeros(1, np.uint8)
+    bg = np.empty(P, np.uint8)
+    lvl1 = np.empty((N, pp3), np.uint8)
+    lvl2_cap = (N * P + 1) // 2 + 1      # worst case: every pixel escapes
+    lvl2 = np.zeros(lvl2_cap, np.uint8)
+    n1 = ctypes.c_int64(0)
+    n3 = ctypes.c_int64(0)
+    esc_idx = np.empty(escape_cap, np.int32)
+    esc_val = np.empty(escape_cap, np.uint8)
+    rc = lib.swt_encode_delta6(
+        _u8ptr(gray2d), N, P, mode, _u8ptr(mode_out), _u8ptr(bg),
+        _u8ptr(lvl1), _u8ptr(lvl2), lvl2_cap, ctypes.byref(n1),
+        esc_idx.ctypes.data_as(ctypes.POINTER(ctypes.c_int32)),
+        _u8ptr(esc_val), escape_cap, ctypes.byref(n3), n_threads,
+    )
+    if rc != 0:
+        return None
+    s2 = max((n1.value + 1) // 2, 1)
+    return mode_out[0], bg, lvl1, lvl2[:s2], esc_idx, esc_val
+
+
 def encode_delta4(gray2d: np.ndarray, escape_cap: int, n_threads: int = 4):
     """Threaded C twin of io/wirecodec.py's numpy encoder (bit-identical).
 
     gray2d: (N, P) uint8 contiguous flattened frames.  Returns
     (packed, esc_idx, esc_val) or None on escape overflow."""
     lib = _load()
-    assert lib is not None
+    assert lib is not None and has_symbol("swt_encode_delta4")
     N, P = gray2d.shape
     m = (N - 1) * P
     packed = np.empty((m + 1) // 2, np.uint8)

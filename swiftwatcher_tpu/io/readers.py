@@ -99,6 +99,16 @@ class FrameSource:
             shape = self.frame_shape
         if shape is not None:
             frames = [f if _real(f) else np.zeros(shape, np.uint8) for f in frames]
+        elif any(f is None for f in frames):
+            # fresh source whose first reads ALL fail: there is no geometry
+            # to substitute — fail loudly here rather than as a TypeError in
+            # the prefetcher's np.stack (ADVICE r2)
+            raise RuntimeError(
+                "every read in the first window failed before any frame "
+                "established the source's geometry "
+                f"({self.filepath or type(self).__name__}); the file is "
+                "unreadable or the decoder is misconfigured"
+            )
         return frames, numbers, stamps
 
 

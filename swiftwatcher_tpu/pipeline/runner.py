@@ -44,19 +44,10 @@ class VideoResult:
     metrics: Optional[object] = None
 
 
-def extract_frame_segments(table, t: int):
-    """Segment centroids for frame t from a RegionTable, in ascending label
-    order, as float64 (row, col) — regionprops parity (SURVEY.md §2.1)."""
-    valid = np.asarray(table.valid[t])
-    idx = np.nonzero(valid)[0]
-    sum_y = np.asarray(table.sum_y[t]).astype(np.float64)
-    sum_x = np.asarray(table.sum_x[t]).astype(np.float64)
-    area = np.asarray(table.area[t]).astype(np.float64)
-    return [(sum_y[k] / area[k], sum_x[k] / area[k]) for k in idx]
-
-
 def extract_frame_segments_batched(table, b: int, t: int):
-    """As extract_frame_segments, for a window-batched (B, T, 256) table."""
+    """Segment centroids for frame (b, t) of a window-batched (B, T, 256)
+    RegionTable, in ascending label order, as float64 (row, col) —
+    regionprops parity (SURVEY.md §2.1)."""
     valid = table.valid[b, t]
     idx = np.nonzero(valid)[0]
     sum_y = table.sum_y[b, t].astype(np.float64)
@@ -223,9 +214,35 @@ def run_video(
                 g.reshape(N // T, T, H, W), mesh, cfg, with_bbox=needs_frames
             )
 
-    def _localize(gray_dev):
-        from ..io.wirecodec import WirePacket
+        @functools.partial(jax.jit, static_argnames=("N", "H", "W"))
+        def _localize_sharded_packed6(mode, bg, lvl1, lvl2, ei, ev, N, H, W):
+            from ..io.wirecodec import decode_delta6
 
+            g = decode_delta6(mode, bg, lvl1, lvl2, ei, ev, N, H, W)
+            T = cfg.window_size
+            return sharded_localize_windows_gray(
+                g.reshape(N // T, T, H, W), mesh, cfg, with_bbox=needs_frames
+            )
+
+    def _localize(gray_dev):
+        from ..io.wirecodec import WirePacket, WirePacket6
+
+        if isinstance(gray_dev, WirePacket6):
+            from .window import localize_windows_packed6
+
+            N, H, W = gray_dev.shape
+            T = cfg.window_size
+            if mesh is not None:
+                return _localize_sharded_packed6(
+                    gray_dev.mode, gray_dev.bg, gray_dev.lvl1, gray_dev.lvl2,
+                    gray_dev.esc_idx, gray_dev.esc_val, N=N, H=H, W=W,
+                )
+            return localize_windows_packed6(
+                gray_dev.mode, gray_dev.bg, gray_dev.lvl1, gray_dev.lvl2,
+                gray_dev.esc_idx, gray_dev.esc_val,
+                shape=(N // T, T, H, W), cfg=cfg,
+                with_bbox=needs_frames,
+            )
         if isinstance(gray_dev, WirePacket):
             from .window import localize_windows_packed
 

@@ -114,6 +114,28 @@ def localize_windows_packed(
     return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox)
 
 
+@functools.partial(jax.jit, static_argnames=("cfg", "with_bbox", "shape"))
+def localize_windows_packed6(
+    mode: jnp.ndarray,
+    bg: jnp.ndarray,
+    lvl1: jnp.ndarray,
+    lvl2: jnp.ndarray,
+    esc_idx: jnp.ndarray,
+    esc_val: jnp.ndarray,
+    shape: Tuple[int, int, int, int],
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    with_bbox: bool = False,
+) -> Tuple[RegionTable, jnp.ndarray]:
+    """As localize_windows_packed, for the denser delta6 (wire codec v2)
+    format — predictive base-6 residuals decoded on device as a prologue of
+    the same compiled program (io/wirecodec.py:decode_delta6)."""
+    from ..io.wirecodec import decode_delta6
+
+    B, T, H, W = shape
+    gray = decode_delta6(mode, bg, lvl1, lvl2, esc_idx, esc_val, B * T, H, W)
+    return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox)
+
+
 @functools.partial(jax.jit, static_argnames=("cfg", "keep_stages"))
 def localize_window_debug(
     crop_bgr: jnp.ndarray,

@@ -318,6 +318,22 @@ def test_get_window_survives_early_read_error(video):
     assert src.read_errors == 1
 
 
+def test_get_window_all_reads_fail_raises(video):
+    """A fresh source whose FIRST window's reads all fail (no geometry ever
+    established) raises a clear RuntimeError instead of returning None
+    frames that TypeError later in the prefetcher's np.stack (ADVICE r2)."""
+    import pytest
+
+    src = ArraySource(video.frames, fps=video.fps)
+    src.frame_shape = (0, 0, 0)                   # truly fresh source
+    src.read_frame = lambda frame_number, increment=True: (
+        setattr(src, "next_frame_number", src.next_frame_number + increment),
+        None,
+    )[1]
+    with pytest.raises(RuntimeError, match="geometry"):
+        src.get_window(5)
+
+
 def test_generate_test_dir_concurrent_unique(tmp_path):
     """Concurrent --debug runs sharing an export parent claim distinct run
     directories (the reference's read-then-create is racy)."""
@@ -348,3 +364,31 @@ def test_profile_trace_and_device_times(tmp_path, video):
     traced = list(prof.rglob("*.xplane.pb")) + list(prof.rglob("*.trace.json*"))
     assert traced, f"no trace artifacts under {prof}"
     assert result.frames_processed == 63
+
+
+def test_export_single_class_events(tmp_path):
+    """export_results with ALL events in one label class (zero rejected, or
+    zero predicted) must not crash: pandas combine_first with an EMPTY
+    grouped frame casts the timeline's None placeholders to the empty
+    frame's int64 dtype (regression: real runs whose distractors all pass
+    the angle test crashed at export)."""
+    import pandas as pd
+
+    from swiftwatcher_tpu.io.export import export_results, frame_timestamp
+
+    def labels(label):
+        idx = pd.MultiIndex.from_tuples(
+            [(frame_timestamp(13, 30.0), 13), (frame_timestamp(32, 30.0), 32)],
+            names=["timestamp", "framenumber"],
+        )
+        return pd.DataFrame(
+            {"angle": [-78.4, -70.2], "label": [label, label], "events": [1, 1]},
+            index=idx,
+        )
+
+    total = export_results(tmp_path / "all_pred", labels(1), 30.0, 0, 63)
+    assert total == 2
+    assert (tmp_path / "all_pred" / "2-swifts_full_sec.csv").is_file()
+    total = export_results(tmp_path / "all_rej", labels(0), 30.0, 0, 63)
+    assert total == 0
+    assert (tmp_path / "all_rej" / "0-swifts_full_sec.csv").is_file()

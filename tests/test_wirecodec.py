@@ -288,6 +288,244 @@ def test_e2e_escape_overflow_falls_back_raw():
     assert res.metrics.wire_bytes == base.metrics.wire_bytes
 
 
+# ---------------------------------------------------------------------------
+# delta6 (wire codec v2)
+# ---------------------------------------------------------------------------
+
+from swiftwatcher_tpu.io.wirecodec import (  # noqa: E402
+    WirePacket6,
+    decode_delta6,
+    encode_delta6,
+)
+
+
+def _roundtrip6(gray, cap=None, mode=None):
+    pkt = encode_delta6(gray, cap if cap is not None else gray.size, mode=mode)
+    assert pkt is not None
+    out = np.asarray(
+        decode_delta6(
+            pkt.mode, pkt.bg, pkt.lvl1, pkt.lvl2, pkt.esc_idx, pkt.esc_val,
+            *pkt.shape,
+        )
+    )
+    np.testing.assert_array_equal(out, gray)
+    return pkt
+
+
+def test_d6_roundtrip_fuzz(rng):
+    # fixed shape (one compiled decode), varied content classes + both modes
+    for i in range(9):
+        kind = i % 3
+        if kind == 0:
+            g = rng.integers(0, 256, (6, 23, 29), np.uint8)
+        elif kind == 1:
+            b = rng.integers(0, 256, (1, 23, 29), np.int16)
+            g = (b + rng.integers(-3, 4, (6, 23, 29))).clip(0, 255).astype(np.uint8)
+        else:
+            g = np.broadcast_to(
+                rng.integers(0, 256, (1, 23, 29), np.uint8), (6, 23, 29)
+            ).copy()
+        _roundtrip6(g)
+        _roundtrip6(g, mode=0)
+        _roundtrip6(g, mode=1)
+
+
+def test_d6_roundtrip_adversarial(rng):
+    _roundtrip6(np.zeros((4, 3, 3), np.uint8))
+    _roundtrip6(np.full((4, 3, 3), 255, np.uint8))
+    alt = np.zeros((6, 5, 7), np.uint8)
+    alt[1::2] = 255                      # wraparound-heavy residuals
+    _roundtrip6(alt)
+    # single frame (delta4 can't; delta6 degrades to bg + zero residuals)
+    _roundtrip6(rng.integers(0, 256, (1, 9, 11), np.uint8))
+    # pixel counts around the 3-digit packing boundary
+    for w in (5, 6, 7):
+        _roundtrip6(rng.integers(0, 256, (3, 1, w), np.uint8))
+
+
+def test_d6_mode_selection(rng):
+    # static scene + noise -> background predictor (mode 0)
+    base = rng.integers(60, 200, (32, 48), np.uint8)
+    static = (
+        base[None].astype(np.int16) + rng.integers(-3, 4, (20, 32, 48))
+    ).clip(0, 255).astype(np.uint8)
+    assert int(_roundtrip6(static).mode) == 0
+    # global exposure ramp -> previous-frame predictor (mode 1): the batch
+    # mean is ~half a ramp away from every frame, prev-frame residual is +3
+    drift = (
+        (np.arange(20)[:, None, None] * 3 + base[None].astype(np.int32)) % 256
+    ).astype(np.uint8)
+    assert int(_roundtrip6(drift).mode) == 1
+
+
+def test_d6_beats_delta4_on_noise(rng):
+    """The v2 format's reason to exist: fewer wire bytes than delta4 on the
+    realistic static-scene + sensor-noise stream (VERDICT r2 #1)."""
+    # +-2 gray noise ~ the bench scene's post-grayscale noise std (~1.3):
+    # the per-channel +-3 BGR noise averages down through the gray weights
+    base = rng.integers(60, 200, (64, 96), np.uint8)
+    frames = (
+        base[None].astype(np.int16) + rng.integers(-2, 3, (40, 64, 96))
+    ).clip(0, 255).astype(np.uint8)
+    # tight escape caps: the fixed (index, value) side-stream padding is the
+    # caller's bucket-sizing concern, not the formats' density difference
+    p4 = encode_delta4(frames, 256)
+    p6 = encode_delta6(frames, 256)
+    assert p6.nbytes < 0.8 * p4.nbytes
+    assert p6.nbytes < 0.45 * frames.nbytes
+
+
+def test_d6_escape_overflow_returns_none(rng):
+    noisy = rng.integers(0, 256, size=(8, 16, 16), dtype=np.uint8)
+    assert encode_delta6(noisy, escape_cap=4) is None
+
+
+def test_d6_native_encoder_matches_numpy(rng):
+    """swt_encode_delta6 must be bit-identical to the numpy branch for all
+    three mode arguments, stream order included."""
+    import unittest.mock as mock
+
+    from swiftwatcher_tpu.io import native
+
+    if not (native.is_available() and native.has_symbol("swt_encode_delta6")):
+        pytest.skip("native delta6 unavailable")
+    for i in range(6):
+        N = int(rng.integers(1, 9))
+        H = int(rng.integers(1, 31))
+        W = int(rng.integers(1, 31))
+        if i % 2:
+            gray = rng.integers(0, 256, size=(N, H, W), dtype=np.uint8)
+        else:
+            b = rng.integers(0, 256, (1, H, W), np.int16)
+            gray = (b + rng.integers(-4, 5, (N, H, W))).clip(0, 255).astype(np.uint8)
+        for fm, pym in ((-1, None), (0, 0), (1, 1)):
+            got = native.encode_delta6(
+                np.ascontiguousarray(gray.reshape(N, -1)), gray.size + 1, fm
+            )
+            with mock.patch.object(native, "is_available", lambda: False):
+                ref = encode_delta6(gray, gray.size + 1, mode=pym)
+            m, bg, l1, l2, i3, v3 = got
+            assert int(ref.mode) == int(m)
+            np.testing.assert_array_equal(ref.bg.reshape(-1), bg)
+            np.testing.assert_array_equal(ref.lvl1, l1)
+            np.testing.assert_array_equal(ref.lvl2, l2)
+            np.testing.assert_array_equal(ref.esc_idx, i3)
+            np.testing.assert_array_equal(ref.esc_val, v3)
+    # overflow contract
+    noisy = rng.integers(0, 256, size=(6, 16, 16), dtype=np.uint8)
+    assert native.encode_delta6(noisy.reshape(6, -1), 2) is None
+
+
+def test_d6_packed_localization_matches_raw(rng):
+    """delta6 decode fused ahead of localization == raw gray path, and the
+    lvl2/esc3 bucket padding the prefetcher applies must not change it."""
+    import jax
+
+    from swiftwatcher_tpu.pipeline.window import (
+        localize_windows_gray,
+        localize_windows_packed6,
+    )
+
+    B, T, H, W = 2, DEFAULT_CONFIG.window_size, 24, 40
+    base = rng.integers(90, 170, size=(H, W), dtype=np.uint8)
+    gray = np.broadcast_to(base, (B, T, H, W)).astype(np.int16)
+    gray = gray + rng.integers(-2, 3, size=gray.shape)
+    gray[0, 5:15, 4:10, 6:12] -= 90      # a moving-ish dark blob
+    gray = gray.clip(0, 255).astype(np.uint8)
+
+    pkt = encode_delta6(gray.reshape(B * T, H, W), 4096)
+    assert pkt is not None
+    # bucket padding as io/prefetch.py ships it
+    pkt.lvl2 = np.pad(pkt.lvl2, (0, 512 - pkt.lvl2.size % 512))
+    t_ref, it_ref = localize_windows_gray(jax.numpy.asarray(gray), DEFAULT_CONFIG)
+    t_pkt, it_pkt = localize_windows_packed6(
+        pkt.mode, pkt.bg, pkt.lvl1, pkt.lvl2, pkt.esc_idx, pkt.esc_val,
+        shape=(B, T, H, W), cfg=DEFAULT_CONFIG,
+    )
+    for a, b in zip(jax.tree.leaves(t_ref), jax.tree.leaves(t_pkt)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    np.testing.assert_array_equal(np.asarray(it_ref), np.asarray(it_pkt))
+
+
+def test_d6_e2e_counts_transport_invariant():
+    """run_video with delta6 forced == codec off (counts + events), and the
+    v2 wire is smaller than delta4's on the same footage."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    results = {}
+    for mode in ("off", "delta4", "delta6"):
+        cfg = dataclasses.replace(DEFAULT_CONFIG, wire_codec=mode)
+        src = ArraySource(video.frames, fps=video.fps)
+        results[mode] = run_video(src, video.corners, cfg)
+    off, on = results["off"], results["delta6"]
+    assert on.total_predicted == off.total_predicted
+    assert on.total_rejected == off.total_rejected
+    assert len(on.events) == len(off.events)
+    for a, b in zip(on.events, off.events):
+        assert a.frame_number == b.frame_number
+        assert a.first_centroid == b.first_centroid
+        assert a.last_centroid == b.last_centroid
+    assert on.metrics.wire_bytes < results["delta4"].metrics.wire_bytes
+    assert on.metrics.wire_bytes < off.metrics.wire_bytes
+
+
+def test_d6_e2e_with_device_tracker_and_mesh():
+    """delta6 transport x device tracker x runner mesh mode == plain run."""
+    import jax
+
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU mesh); running on real hardware")
+    from swiftwatcher_tpu.parallel.mesh import make_mesh
+
+    mesh = make_mesh(8, shape=(4, 2))
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    cfg0 = dataclasses.replace(
+        DEFAULT_CONFIG, batch_windows=4, wire_codec="off"
+    )
+    base = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg0
+    )
+    cfg1 = dataclasses.replace(cfg0, wire_codec="delta6")
+    combo = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg1,
+        tracker_impl="device", mesh=mesh,
+    )
+    assert combo.total_predicted == base.total_predicted
+    assert combo.total_rejected == base.total_rejected
+    assert len(combo.events) == len(base.events)
+    assert combo.metrics.wire_bytes < base.metrics.wire_bytes
+
+
+def test_d6_e2e_escape_overflow_falls_back_raw():
+    """Blowing the level-3 budget (tiny cap) degrades to raw mid-run with
+    identical counts — the codec can never be a correctness hazard."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    base = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        dataclasses.replace(DEFAULT_CONFIG, wire_codec="off"),
+    )
+    tiny = dataclasses.replace(
+        DEFAULT_CONFIG, wire_codec="delta6", wire_escape_cap=0
+    )
+    res = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, tiny
+    )
+    assert res.total_predicted == base.total_predicted
+    assert res.total_rejected == base.total_rejected
+    assert res.metrics.wire_bytes == base.metrics.wire_bytes
+
+
 def test_checkpoint_resume_with_codec(tmp_path):
     """delta4 transport composes with checkpoint/resume: a run interrupted
     mid-video and resumed equals the uninterrupted run."""
