@@ -1,0 +1,172 @@
+"""Chunk-parallel container decode over cv2.VideoCapture workers.
+
+The reference decodes strictly sequentially on one core
+(io_video.py:137-165) and marks itself CPU-bound (__main__.py:78).  For
+seekable containers (H.264/MPEG-4 in MP4, MJPG AVI, ...) decode
+parallelizes cleanly across keyframe-aligned chunks: K workers each own a
+VideoCapture handle, claim contiguous frame chunks, seek
+(CAP_PROP_POS_FRAMES lands on the preceding keyframe and ffmpeg decodes
+forward to the exact frame), and publish decoded frames into a bounded
+reorder buffer the consumer drains in order.
+
+Safety: at open, a PROBE decodes the first frames sequentially and
+re-decodes one by seeking; any byte mismatch (a container whose seek is
+not frame-accurate) disables the parallel path and the caller keeps the
+reference-exact sequential backend.  Per-frame decode failures surface as
+None frames, identical to a failed cv2 retrieve — the FrameSource base
+then applies the reference's last-good substitution (io_video.py:51-53).
+
+On a multi-core host this lifts container decode from a few hundred fps
+toward N_workers x (cv2 releases the GIL inside ffmpeg); this rig's
+container exposes ONE core, so tests here verify parity and plumbing, not
+speedup.
+"""
+
+from __future__ import annotations
+
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+
+def probe_seek_accuracy(path, n_probe: int = 12, seek_at: int = 8) -> bool:
+    """True when set(CAP_PROP_POS_FRAMES) reproduces sequential decode
+    byte-for-byte on this file (keyframe-accurate containers)."""
+    import cv2
+
+    cap = cv2.VideoCapture(str(path))
+    if not cap.isOpened():
+        cap.release()
+        return False
+    seq = []
+    for _ in range(n_probe):
+        ok, frame = cap.read()
+        seq.append(frame if ok else None)
+    cap.release()
+    if seek_at >= len(seq) or seq[seek_at] is None or seq[0] is None:
+        return False
+    cap = cv2.VideoCapture(str(path))
+    cap.set(cv2.CAP_PROP_POS_FRAMES, seek_at)
+    ok, via_seek = cap.read()
+    cap.release()
+    return bool(ok) and np.array_equal(seq[seek_at], via_seek)
+
+
+class ParallelDecoder:
+    """Ordered frame stream decoded by chunk-claiming worker threads."""
+
+    def __init__(
+        self,
+        path,
+        total_frames: int,
+        n_workers: int = 4,
+        chunk: int = 16,
+        max_ahead: int = 64,
+        start: int = 0,
+    ):
+        self.path = str(path)
+        self.total = total_frames
+        self.chunk = max(chunk, 1)
+        self.max_ahead = max(max_ahead, 2 * self.chunk)
+        self._lock = threading.Lock()
+        self._have = threading.Condition(self._lock)
+        self._need = threading.Condition(self._lock)
+        self._frames: dict[int, Optional[np.ndarray]] = {}
+        self._next_chunk = start // self.chunk
+        self._consumed = start          # lowest frame number not yet taken
+        self._stop = False
+        self._threads = [
+            threading.Thread(target=self._worker, daemon=True)
+            for _ in range(max(n_workers, 1))
+        ]
+        for t in self._threads:
+            t.start()
+
+    # -- worker side --------------------------------------------------------
+    def _claim(self) -> Optional[int]:
+        with self._lock:
+            while True:
+                if self._stop:
+                    return None
+                c = self._next_chunk
+                lo = c * self.chunk
+                # Past the end: PARK rather than exit — a restart() (e.g.
+                # checkpoint resume after a full pass) re-aims the chunk
+                # counter and needs live workers to serve it.
+                if lo < self.total and lo - self._consumed < self.max_ahead:
+                    self._next_chunk += 1
+                    return c
+                # backpressure: don't run further than max_ahead frames past
+                # the consumer (bounds host memory at ~max_ahead BGR frames)
+                self._need.wait()
+
+    def _worker(self):
+        import cv2
+
+        cap = cv2.VideoCapture(self.path)
+        try:
+            pos = -1                     # capture's current frame cursor
+            while True:
+                c = self._claim()
+                if c is None:
+                    return
+                lo = c * self.chunk
+                hi = min(lo + self.chunk, self.total)
+                if pos != lo:
+                    cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
+                out = []
+                for fn in range(lo, hi):
+                    ok, frame = cap.read()
+                    out.append((fn, frame if ok else None))
+                pos = hi
+                with self._lock:
+                    self._frames.update(out)
+                    self._have.notify_all()
+        finally:
+            cap.release()
+
+    # -- consumer side ------------------------------------------------------
+    def get(self, frame_number: int, timeout: float = 300.0):
+        """The decoded frame (or None on decode failure), in any order
+        within the streaming window; blocks until the worker delivers."""
+        with self._lock:
+            while frame_number not in self._frames:
+                if self._stop:
+                    return None
+                if frame_number < self._consumed - 1 or frame_number >= self.total:
+                    return None          # behind the window or past the end
+                if not self._have.wait(timeout):
+                    raise TimeoutError(
+                        f"parallel decode stalled at frame {frame_number} "
+                        f"of {self.path}"
+                    )
+            frame = self._frames.pop(frame_number)
+            if frame_number >= self._consumed:
+                self._consumed = frame_number + 1
+                self._need.notify_all()
+            return frame
+
+    def restart(self, frame_number: int):
+        """Reposition the stream (checkpoint resume): drop buffered frames
+        and re-aim the chunk counter."""
+        with self._lock:
+            self._frames.clear()
+            self._next_chunk = frame_number // self.chunk
+            self._consumed = frame_number
+            self._need.notify_all()
+
+    def close(self):
+        with self._lock:
+            self._stop = True
+            self._need.notify_all()
+            self._have.notify_all()
+        for t in self._threads:
+            t.join(timeout=5)
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass

@@ -18,6 +18,7 @@ the reference's Python list of frames.
 
 from __future__ import annotations
 
+import os
 from pathlib import Path
 from typing import List, Optional, Tuple
 
@@ -233,24 +234,38 @@ class HDF5Source(FrameSource):
 
 
 class VideoFileSource(FrameSource):
-    """Container-backed source, strictly sequential (io_video.py:134-165).
+    """Container-backed source (io_video.py:134-165).
 
-    MJPG AVIs decode through the first-party native parser + libjpeg
-    (native/framepump.cpp swt_avi_*: container walk, frame table, threaded-
-    capable decode — no cv2 anywhere on that path); every other container
-    falls back to cv2.VideoCapture.  Both backends present identical
-    retrieve-then-grab semantics: read_frame returns the CURRENT frame and
-    advances, frame 0 is primed at open, a failed decode yields None (the
-    base class then substitutes the last good frame and bumps read_errors,
-    io_video.py:51-53), and --start is ignored (io_video.py:146)."""
+    Three backends, all behavior-identical to the reference's sequential
+    retrieve-then-grab (a failed decode yields None; the base class then
+    substitutes the last good frame and bumps read_errors, io_video.py:
+    51-53; --start is ignored, io_video.py:146):
+
+      native:   MJPG AVIs through the first-party parser + libjpeg
+                (native/framepump.cpp swt_avi_*; no cv2 on that path).
+      parallel: seekable containers (H.264/MPEG-4 MP4 etc.) decoded by
+                chunk-claiming cv2 workers (io/parallel_decode.py) — the
+                high-rate path for the reference's real input format; only
+                engages after a probe proves the container's seek is
+                frame-accurate, and it upgrades supports_seek (checkpoint
+                resume works on such files).
+      cv2:      the reference-exact sequential fallback.
+    """
 
     supports_seek = False
 
-    def __init__(self, filepath, end: int = 0, backend: str = "auto"):
+    def __init__(
+        self,
+        filepath,
+        end: int = 0,
+        backend: str = "auto",
+        decode_workers: Optional[int] = None,
+    ):
         super().__init__()
         self.filepath = Path(filepath)
         self.backend = "cv2"
         self._avi = None
+        self._pdec = None
         if backend in ("auto", "native"):
             from . import native
 
@@ -276,12 +291,37 @@ class VideoFileSource(FrameSource):
                     f"{filepath}: cv2.VideoCapture could not open the file "
                     "(missing, unreadable, or unsupported container)"
                 )
-            self._cap.grab()  # prime so retrieve() works for frame 0
             self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
             self.start_frame = 0
-            self.end_frame = (
-                end if end > 0 else int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            container_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            self.end_frame = end if end > 0 else container_frames
+            if decode_workers is None:
+                decode_workers = int(
+                    os.environ.get("SWTPU_DECODE_WORKERS", os.cpu_count() or 1)
+                )
+            want_parallel = backend == "parallel" or (
+                backend == "auto" and decode_workers > 1
             )
+            if want_parallel and container_frames > 0:
+                from .parallel_decode import ParallelDecoder, probe_seek_accuracy
+
+                if probe_seek_accuracy(filepath):
+                    self._cap.release()
+                    self._cap = None
+                    self._pdec = ParallelDecoder(
+                        filepath, container_frames, n_workers=decode_workers
+                    )
+                    self.backend = "parallel"
+                    self.supports_seek = True
+                    self._p_cached = None
+                    self._p_cached_fn = -1
+                elif backend == "parallel":
+                    raise ValueError(
+                        f"{filepath}: seek is not frame-accurate on this "
+                        "container; parallel decode would corrupt frames"
+                    )
+            if self.backend == "cv2":
+                self._cap.grab()  # prime so retrieve() works for frame 0
         self.next_frame_number = self.start_frame
         self.total_frames = self.end_frame - self.start_frame
 
@@ -292,6 +332,18 @@ class VideoFileSource(FrameSource):
                 self._current = self._avi.read()
                 self.next_frame_number += 1
             return frame
+        if self.backend == "parallel":
+            if frame_number == self._p_cached_fn:
+                frame = self._p_cached
+            else:
+                if frame_number != self._p_cached_fn + 1:
+                    # non-sequential access (checkpoint resume): re-aim
+                    self._pdec.restart(frame_number)
+                frame = self._pdec.get(frame_number)
+                self._p_cached, self._p_cached_fn = frame, frame_number
+            if increment:
+                self.next_frame_number += 1
+            return frame
         ok, frame = self._cap.retrieve()
         if not ok:
             frame = None
@@ -299,6 +351,16 @@ class VideoFileSource(FrameSource):
             self._cap.grab()
             self.next_frame_number += 1
         return frame
+
+    def close(self):
+        if self._pdec is not None:
+            self._pdec.close()
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
 
 
 def open_source(filepath, start: int = 0, end: int = 0) -> FrameSource:

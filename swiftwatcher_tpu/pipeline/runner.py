@@ -33,6 +33,22 @@ from .events import classify_events
 
 
 @dataclasses.dataclass
+class _CompactTableView:
+    """Duck-typed stand-in for RegionTable over compacted (B, T, K) arrays.
+
+    The classify fast path hands this to SqueezeNetSegmentFilter instead of
+    the 256-slot table: valid slots are packed at the front in ascending
+    label order (pipeline/tracking_jax.py:compact_tables), so bbox lookups
+    by np.nonzero(valid) see the same segments in the same order."""
+
+    valid: np.ndarray
+    min_y: np.ndarray
+    min_x: np.ndarray
+    max_y: np.ndarray
+    max_x: np.ndarray
+
+
+@dataclasses.dataclass
 class VideoResult:
     events: List[Event]
     df_labels: Optional[pd.DataFrame]
@@ -103,14 +119,16 @@ def run_video(
     serializes dispatch and consume, so throughput drops while it is on.
     """
     if tracker_impl == "device" and (
-        segment_filter is not None or export_segments_dir is not None
+        export_segments_dir is not None
+        or (segment_filter is not None and not hasattr(segment_filter, "batch_call"))
     ):
         import warnings
 
         warnings.warn(
-            "tracker_impl='device' is incompatible with "
-            "segment_filter/export_segments_dir (they need host frames); "
-            "falling back to the host tracker",
+            "tracker_impl='device' requires a batchable segment_filter "
+            "(models.classifier.SqueezeNetSegmentFilter) and no "
+            "export_segments_dir (PNG export needs the host per-frame "
+            "path); falling back to the host tracker",
             RuntimeWarning,
             stacklevel=2,
         )
@@ -280,7 +298,9 @@ def run_video(
             nonlocal dev_state
             B = table.valid.shape[0]
             T = cfg.window_size
-            cy, cx, kvalid, overflow = compact_tables(table, cfg.max_tracks)
+            classify = segment_filter is not None
+            compacted = compact_tables(table, cfg.max_tracks, with_bbox=classify)
+            cy, cx, kvalid, overflow = compacted[:4]
             fns = jnp.asarray(
                 np.concatenate([np.asarray(w[1], np.int32) for w in wins]
                                + [np.full(T, -1, np.int32)] * (B - len(wins)))
@@ -288,6 +308,20 @@ def run_video(
             active = jnp.asarray(
                 np.arange(B * T) < len(wins) * T
             )  # batch-padding frames are no-ops (the reference never runs them)
+            if classify:
+                # CLASSIFY FAST PATH (VERDICT r2 #2): the keep-mask needs
+                # host crops, so the tracking scan is DEFERRED to consume —
+                # compacted bbox readback -> one batched CNN forward for ALL
+                # of the dispatch's segments -> keep-mask ANDed into the
+                # compacted valid slots -> one track_window dispatch.  Slot
+                # alignment: compact_tables' stable argsort keeps ascending
+                # label order, the same order batch_call emits.  Only the
+                # (B, T, K) compacted arrays are read back, not the 256-slot
+                # table.
+                return table, iters, wins, cursor, (
+                    "classify", cy, cx, kvalid, overflow, fns, active,
+                    compacted[4],
+                )
             with annotate("track_dispatch"):
                 dev_state, ev = track_window(
                     dev_state,
@@ -316,6 +350,50 @@ def run_video(
         nonlocal frames_processed
         metrics.stage_start("consume")
         table, iters, wins, cursor, ev = pending
+        if use_device_tracker and isinstance(ev, tuple) and ev[0] == "classify":
+            _, cy, cx, kvalid, overflow, fns, active, bbox = ev
+            nonlocal dev_state
+            # compacted (B, T, K) readback only — not the 256-slot table
+            view = _CompactTableView(
+                valid=np.asarray(kvalid),
+                min_y=np.asarray(bbox[0]),
+                min_x=np.asarray(bbox[1]),
+                max_y=np.asarray(bbox[2]),
+                max_x=np.asarray(bbox[3]),
+            )
+            B = view.valid.shape[0]
+            T = cfg.window_size
+            K = cfg.max_tracks
+            frames_by_bt = {
+                (b, t): wins[b][0][t]
+                for b in range(len(wins))
+                for t in range(T)
+                if view.valid[b, t].any()
+            }
+            with annotate("classify"):
+                keep_masks = segment_filter.batch_call(
+                    view, frames_by_bt, crop_region
+                )
+            keep = np.ones((B, T, K), bool)
+            n_seg = 0
+            for (b, t), kl in keep_masks.items():
+                n_seg += sum(1 for k in kl if k)
+                for j, keep_j in enumerate(kl[:K]):
+                    keep[b, t, j] = keep_j
+            metrics.segments_total += n_seg
+            with annotate("track_dispatch"):
+                dev_state, evs = track_window(
+                    dev_state,
+                    roi_dev,
+                    cy.reshape(B * T, -1),
+                    cx.reshape(B * T, -1),
+                    (kvalid & jnp.asarray(keep)).reshape(B * T, -1),
+                    fns,
+                    cfg,
+                    active=active,
+                    chunk=cfg.track_scan_chunk,
+                )
+            ev = (evs, overflow, dev_state)
         if use_device_tracker:
             ev, overflow, state_snapshot = ev
             ev = jax.tree.map(np.asarray, ev)  # waits for the device
@@ -377,12 +455,30 @@ def run_video(
                 status_cb(frames_processed, source.total_frames)
             return
         table = jax.tree.map(np.asarray, table)  # waits for the device
+        # Batchable filters classify the WHOLE dispatch in one device
+        # forward (identical per-image results; per-frame dispatches pay
+        # the host link round trip per non-empty frame — VERDICT r2 #2).
+        keep_masks = None
+        if segment_filter is not None and hasattr(segment_filter, "batch_call"):
+            frames_by_bt = {
+                (b, t): frames[t]
+                for b, (frames, _, _) in enumerate(wins)
+                for t in range(cfg.window_size)
+                if table.valid[b, t].any()
+            }
+            with annotate("classify"):
+                keep_masks = segment_filter.batch_call(
+                    table, frames_by_bt, crop_region
+                )
         for b, (frames, numbers, stamps) in enumerate(wins):
             ialm_iters.append(int(np.asarray(iters)[b]))
             for t in range(cfg.window_size):
                 centroids = extract_frame_segments_batched(table, b, t)
                 keep = None
-                if segment_filter is not None:
+                if keep_masks is not None:
+                    keep = keep_masks.get((b, t), [])
+                    centroids = [c for c, k in zip(centroids, keep) if k]
+                elif segment_filter is not None:
                     keep = segment_filter(table, (b, t), frames[t], crop_region)
                     centroids = [c for c, k in zip(centroids, keep) if k]
                 tracker.step(centroids, numbers[t], stamps[t])

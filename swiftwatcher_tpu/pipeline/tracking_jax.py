@@ -332,10 +332,14 @@ def track_window(
     return state, events
 
 
-@functools.partial(jax.jit, static_argnames=("K",))
-def compact_tables(table, K: int):
+@functools.partial(jax.jit, static_argnames=("K", "with_bbox"))
+def compact_tables(table, K: int, with_bbox: bool = False):
     """RegionTable (..., 256) -> top-K valid slots in ascending label order:
-    (cys, cxs, valids, overflow) with shapes (..., K)."""
+    (cys, cxs, valids, overflow) with shapes (..., K).
+
+    with_bbox additionally returns (min_y, min_x, max_y, max_x) compacted
+    the same way — the classify fast path reads THESE back instead of the
+    full 256-slot table (~20x fewer readback bytes on a slow host link)."""
     valid = table.valid
     order = jnp.argsort(~valid, axis=-1, stable=True)[..., :K]
     take = lambda a: jnp.take_along_axis(a, order, axis=-1)
@@ -344,4 +348,9 @@ def compact_tables(table, K: int):
     cy = take(table.sum_y).astype(jnp.float32) / area
     cx = take(table.sum_x).astype(jnp.float32) / area
     overflow = jnp.sum(valid, axis=-1) > K
+    if with_bbox:
+        bbox = tuple(
+            take(a) for a in (table.min_y, table.min_x, table.max_y, table.max_x)
+        )
+        return cy, cx, kvalid, overflow, bbox
     return cy, cx, kvalid, overflow

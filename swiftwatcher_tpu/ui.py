@@ -32,9 +32,12 @@ def parse_args(argv=None):
         "matching the reference)",
     )
     parser.add_argument(
-        "--tracker", choices=["host", "device"], default="host",
-        help="tracking implementation: host (scipy, strict parity) or "
-        "device (full on-device lax.scan)",
+        "--tracker", choices=["host", "device"], default="device",
+        help="tracking implementation: device (full on-device lax.scan — "
+        "the default and the benchmarked fast path; event-for-event equal "
+        "to host across the test corpus and ~1.8x faster end-to-end) or "
+        "host (scipy, the strict-parity reference path).  Flags that need "
+        "host frames fall back to host automatically.",
     )
     parser.add_argument(
         "--profile", action="store_true",

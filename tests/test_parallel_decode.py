@@ -1,0 +1,156 @@
+"""Chunk-parallel container decode (io/parallel_decode.py; VERDICT r2 #4).
+
+Parity contract: for a seek-accurate container, the parallel backend must
+be frame-for-frame byte-identical to the reference-exact sequential cv2
+backend — including the inclusive-end duplicate-frame quirk and failed-read
+substitution.  This rig exposes one core, so these tests verify parity and
+plumbing; the speedup claim is architectural (workers decode disjoint
+chunks inside ffmpeg, off the GIL)."""
+
+import dataclasses
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from swiftwatcher_tpu.config import DEFAULT_CONFIG
+from swiftwatcher_tpu.io.parallel_decode import ParallelDecoder, probe_seek_accuracy
+from swiftwatcher_tpu.io.readers import VideoFileSource
+from swiftwatcher_tpu.io.synthetic import make_video
+
+
+@pytest.fixture(scope="module")
+def mp4(tmp_path_factory):
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1)
+    p = tmp_path_factory.mktemp("pdec") / "clip.mp4"
+    w = cv2.VideoWriter(
+        str(p), cv2.VideoWriter_fourcc(*"mp4v"), video.fps,
+        (video.frames.shape[2], video.frames.shape[1]),
+    )
+    assert w.isOpened()
+    for f in video.frames:
+        w.write(f)
+    w.release()
+    return p, video
+
+
+def test_probe_seek_accuracy(mp4):
+    p, _ = mp4
+    assert probe_seek_accuracy(p)
+
+
+def test_decoder_matches_sequential(mp4):
+    p, _ = mp4
+    cap = cv2.VideoCapture(str(p))
+    seq = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        seq.append(f)
+    cap.release()
+
+    dec = ParallelDecoder(p, len(seq), n_workers=3, chunk=5, max_ahead=17)
+    try:
+        for i, ref in enumerate(seq):
+            got = dec.get(i)
+            assert got is not None and np.array_equal(got, ref), f"frame {i}"
+        assert dec.get(len(seq)) is None     # past the end
+    finally:
+        dec.close()
+
+
+def test_decoder_restart(mp4):
+    p, _ = mp4
+    dec = ParallelDecoder(p, 63, n_workers=2, chunk=4)
+    try:
+        a0 = dec.get(0)
+        dec.restart(40)
+        f40 = dec.get(40)
+        cap = cv2.VideoCapture(str(p))
+        cap.set(cv2.CAP_PROP_POS_FRAMES, 40)
+        ok, ref = cap.read()
+        cap.release()
+        assert ok and np.array_equal(f40, ref)
+        assert a0 is not None
+    finally:
+        dec.close()
+
+
+def test_source_backend_parity(mp4):
+    """get_frame walk over [0, end] INCLUSIVE through both backends:
+    byte-identical frames, same read_errors (the end+1 read fails and
+    substitutes the last good frame — the reference's duplicate-frame
+    quirk)."""
+    p, _ = mp4
+    seq = VideoFileSource(p, backend="cv2")
+    par = VideoFileSource(p, backend="parallel", decode_workers=3)
+    assert par.backend == "parallel" and par.supports_seek
+    assert par.total_frames == seq.total_frames
+    try:
+        for _ in range(seq.start_frame, seq.end_frame + 1):
+            fs, ns, ts = seq.get_frame()
+            fp, np_, tp = par.get_frame()
+            assert ns == np_ and ts == tp
+            assert np.array_equal(fs, fp)
+        assert seq.read_errors == par.read_errors == 1  # inclusive-end dup
+    finally:
+        par.close()
+
+
+def test_e2e_counts_backend_invariant(mp4):
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    p, video = mp4
+    base = run_video(
+        VideoFileSource(p, backend="cv2"), video.corners, DEFAULT_CONFIG
+    )
+    src = VideoFileSource(p, backend="parallel", decode_workers=3)
+    par = run_video(src, video.corners, DEFAULT_CONFIG)
+    src.close()
+    assert par.total_predicted == base.total_predicted
+    assert par.total_rejected == base.total_rejected
+    assert [e.frame_number for e in par.events] == [
+        e.frame_number for e in base.events
+    ]
+    assert par.frames_processed == base.frames_processed
+
+
+def test_checkpoint_resume_on_parallel_mp4(mp4, tmp_path):
+    """supports_seek upgrade: checkpointed runs resume on seek-accurate
+    containers (the sequential backend refuses — readers.py contract)."""
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    p, video = mp4
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=1)
+    full = run_video(
+        VideoFileSource(p, backend="parallel", decode_workers=2),
+        video.corners, cfg,
+    )
+    ckpt = tmp_path / "state.ckpt"
+    src = VideoFileSource(p, backend="parallel", decode_workers=2)
+    src.end_frame = 42
+    src.total_frames = 42
+    run_video(src, video.corners, cfg, checkpoint_path=ckpt,
+              checkpoint_interval_batches=1)
+    src.close()
+    resumed = run_video(
+        VideoFileSource(p, backend="parallel", decode_workers=2),
+        video.corners, cfg,
+        checkpoint_path=ckpt, checkpoint_interval_batches=1,
+    )
+    assert resumed.total_predicted == full.total_predicted
+    assert resumed.total_rejected == full.total_rejected
+    assert len(resumed.events) == len(full.events)
+
+
+def test_sequential_source_unaffected_on_one_core(mp4, monkeypatch):
+    """auto backend with one visible core keeps the reference-exact
+    sequential path (no probe, no workers)."""
+    p, _ = mp4
+    monkeypatch.setenv("SWTPU_DECODE_WORKERS", "1")
+    src = VideoFileSource(p, backend="auto")
+    assert src.backend == "cv2"
+    assert not src.supports_seek

@@ -1,0 +1,155 @@
+#!/usr/bin/env python
+"""Scaling evidence for the sharded localization path (VERDICT r2 #6).
+
+Runs sharded_localize_windows_gray over 'data' = 1/2/4/8 device meshes with
+a FIXED per-device window batch and records the curve into
+MESH_SCALING.json.  No multi-chip hardware exists on this rig, so the mesh
+is 8 virtual CPU devices sharing ONE physical core (the sharding test
+suite's substrate).  On that substrate wall-clock parallel speedup is
+definitionally impossible — what the numbers DO establish:
+
+  * total windows/sec stays FLAT as 'data' grows with per-device batch
+    fixed (total work grows 8x on one core): the sharding divides the work.
+    If devices redundantly recomputed replicated windows (the classic
+    silent shard_map failure), total throughput would fall ~Nx.
+  * sharded-vs-unsharded overhead at identical TOTAL batch: the cost of
+    the collective machinery + padding — the part that would also be real
+    on a pod (where it rides ICI).
+
+Usage: python tools/mesh_scaling.py [--per-device-windows 2] [--iters 4]
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import sys
+import time
+from pathlib import Path
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent))
+
+import jax
+
+if jax.config.jax_platforms != "cpu":
+    try:
+        jax.config.update("jax_platforms", "cpu")
+        jax.config.update("jax_num_cpu_devices", 8)
+    except RuntimeError:
+        # backend already initialized (e.g. under pytest) — reuse it
+        pass
+
+import numpy as np  # noqa: E402
+
+
+def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
+    import dataclasses
+
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.parallel.mesh import (
+        make_mesh,
+        sharded_localize_windows_gray,
+    )
+
+    cfg = DEFAULT_CONFIG
+    T = cfg.window_size
+    rng = np.random.default_rng(0)
+    base = rng.integers(90, 170, size=(H, W), dtype=np.uint8)
+    results = []
+    for data in data_sizes:
+        B = per_dev_windows * data
+        mesh = make_mesh(data, shape=(data, 1))
+        gray = (
+            base[None, None].astype(np.int16)
+            + rng.integers(-2, 3, size=(B, T, H, W))
+        )
+        # a moving dark blob per window so IALM does real work
+        for b in range(B):
+            s = 2 + (3 * b) % 10
+            gray[b, 5:15, s : s + 5, 8:14] -= 90
+        gray = jnp.asarray(gray.clip(0, 255).astype(np.uint8))
+
+        @jax.jit
+        def run_k(g, k):
+            def body(_, carry):
+                gi = g + jnp.minimum(carry, 0).astype(g.dtype)
+                table, it = sharded_localize_windows_gray(gi, mesh, cfg)
+                s = jnp.sum(table.area) + jnp.sum(it)
+                return jnp.minimum(s, 1)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        @jax.jit
+        def run_k_unsharded(g, k):
+            from swiftwatcher_tpu.pipeline.window import localize_windows_gray
+
+            def body(_, carry):
+                gi = g + jnp.minimum(carry, 0).astype(g.dtype)
+                table, it = localize_windows_gray(gi, cfg)
+                s = jnp.sum(table.area) + jnp.sum(it)
+                return jnp.minimum(s, 1)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        int(run_k(gray, jnp.int32(1)))          # compile + warm
+        t0 = time.perf_counter()
+        int(run_k(gray, jnp.int32(iters)))      # forced readback
+        dt = time.perf_counter() - t0
+        int(run_k_unsharded(gray, jnp.int32(1)))
+        t0 = time.perf_counter()
+        int(run_k_unsharded(gray, jnp.int32(iters)))
+        dt_un = time.perf_counter() - t0
+        wps = iters * B / dt
+        results.append(
+            {
+                "data_devices": data,
+                "windows_per_device": per_dev_windows,
+                "windows_per_sec": round(wps, 2),
+                "frames_per_sec": round(wps * T, 2),
+                "elapsed_s": round(dt, 3),
+                "unsharded_same_batch_s": round(dt_un, 3),
+                "sharded_overhead_x": round(dt / dt_un, 3),
+            }
+        )
+        print(
+            f"data={data}: {wps:.2f} windows/s ({wps * T:.1f} frames/s), "
+            f"overhead vs unsharded {dt / dt_un:.2f}x"
+        )
+    return results
+
+
+def main(argv=None) -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--per-device-windows", type=int, default=2)
+    ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument(
+        "--out", type=Path,
+        default=Path(__file__).resolve().parent.parent / "MESH_SCALING.json",
+    )
+    args = ap.parse_args(argv)
+
+    n = len(jax.devices())
+    sizes = [s for s in (1, 2, 4, 8) if s <= n]
+    results = measure(sizes, args.per_device_windows, args.iters)
+    base = results[0]["windows_per_sec"]
+    for r in results:
+        # on the 1-core substrate TOTAL throughput flat == work divided
+        # cleanly (see module docstring); < ~0.7 would flag replication
+        r["total_throughput_vs_1dev"] = round(r["windows_per_sec"] / base, 3)
+    out = {
+        "substrate": f"{n} virtual CPU devices on a 1-core host "
+        "(no multi-chip hardware on this rig; see tools/mesh_scaling.py "
+        "docstring for what flat total throughput establishes here)",
+        "backend": jax.default_backend(),
+        "per_device_windows": args.per_device_windows,
+        "results": results,
+    }
+    args.out.write_text(json.dumps(out, indent=2) + "\n")
+    print(f"wrote {args.out}")
+    return 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
