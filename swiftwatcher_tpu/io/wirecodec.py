@@ -332,7 +332,10 @@ def decode_delta6(
     )[:, :P]
     esc = digits == _D6_ESCAPE
     # global escape ordinal: per-frame inclusive cumsum + frame offsets
-    inner = jnp.cumsum(esc.astype(jnp.int32), axis=1)
+    # (two-level scan — a flat long-axis cumsum costs ~8x more on TPU)
+    from ..ops.scan import rowwise_mask_cumsum
+
+    inner = rowwise_mask_cumsum(esc)
     tot = inner[:, -1]
     offs = jnp.concatenate(
         [jnp.zeros((1,), jnp.int32), jnp.cumsum(tot)[:-1]]

@@ -175,8 +175,10 @@ def label_components(
     # rank[root[p]] gather would be the obvious move, but a (T, P) gather
     # costs ~80 ms on TPU while these pools cost ~1 ms; distinct components
     # are never 8-adjacent, so ranks cannot leak between them.
+    from .scan import rowwise_mask_cumsum
+
     is_root = jnp.logical_and(fg, lbl == idx.astype(jnp.float32))
-    ranks = jnp.cumsum(is_root.reshape(T, P).astype(jnp.int32), axis=1)  # 1-based at roots
+    ranks = rowwise_mask_cumsum(is_root.reshape(T, P))  # 1-based at roots
     counts = ranks[:, -1]
     rank0 = jnp.where(
         is_root, ranks.reshape(T, H, W).astype(jnp.float32), jnp.float32(sentinel)

@@ -156,3 +156,14 @@ def apply_postfilter(
 
         return fused_motion_filter(motion, cfg)
     return motion_postfilter(motion, cfg)
+
+
+# MEASURED NEGATIVE (r3, don't re-litigate without a new layout idea): a
+# postfilter kernel that emits the CCL flood seed (lbl0 f32) directly —
+# skipping the filtered-u8 materialization between the stages — is ~4%
+# SLOWER end to end (42.3 vs 40.6 ms per 672 frames on v5e).  Two causes:
+# XLA already fuses the u8 boundary into the CCL init, and deriving the
+# foreground mask from the f32 seed (lbl0 < sentinel) reads 251 MB where
+# filtered>0 read 63.  A second kernel output plane for fg also blows the
+# 16 MB scoped-VMEM budget (by 68 KB).  The cheap real win at this
+# boundary was the two-level rank cumsum (ops/scan.py, −2.3 ms).

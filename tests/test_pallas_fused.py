@@ -41,3 +41,21 @@ def test_fused_matches_native_oracle(rng):
         diff = np.abs(fused[n].astype(int) - expected.astype(int))
         assert diff.max() <= 1
         assert (diff == 0).mean() > 0.99
+
+
+def test_rowwise_mask_cumsum(rng):
+    """Two-level scan == flat cumsum for awkward lengths and dense masks."""
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.ops.scan import rowwise_mask_cumsum
+
+    for P in (7, 1024, 1025, 93312, 4096):
+        m = rng.random((3, P)) < 0.3
+        got = np.asarray(rowwise_mask_cumsum(jnp.asarray(m)))
+        ref = np.cumsum(m.astype(np.int32), axis=1)
+        np.testing.assert_array_equal(got, ref)
+    # all-ones row (max counts) and empty row
+    m = np.ones((2, 2050), bool)
+    m[1] = False
+    got = np.asarray(rowwise_mask_cumsum(jnp.asarray(m)))
+    np.testing.assert_array_equal(got, np.cumsum(m.astype(np.int32), axis=1))
