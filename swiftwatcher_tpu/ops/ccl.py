@@ -180,18 +180,53 @@ def label_components(
     is_root = jnp.logical_and(fg, lbl == idx.astype(jnp.float32))
     ranks = rowwise_mask_cumsum(is_root.reshape(T, P))  # 1-based at roots
     counts = ranks[:, -1]
-    rank0 = jnp.where(
-        is_root, ranks.reshape(T, H, W).astype(jnp.float32), jnp.float32(sentinel)
+    ranks3 = ranks.reshape(T, H, W)
+
+    def _flood(rank0, chunk_fn):
+        def body(state):
+            r, _, it = state
+            new = chunk_fn(r)
+            return new, jnp.any(new != r), it + CHUNK
+
+        r, ch, _ = jax.lax.while_loop(
+            cond(phase1_iters), body,
+            (rank0, jnp.asarray(True), jnp.asarray(0, jnp.int32)),
+        )
+        return r, ch
+
+    def general_flood(_):
+        rank0 = jnp.where(is_root, ranks3.astype(jnp.float32), jnp.float32(sentinel))
+        rank0 = jnp.where(fg, rank0, jnp.float32(sentinel))
+        return _flood(rank0, pool_chunk)
+
+    def small_flood(_):
+        # Rank values <= 255 are bfloat16-EXACT (as is sentinel 256), so
+        # the rank flood — same propagation as the label flood but over
+        # tiny values — runs at half the HBM traffic.  Realistic frames
+        # hold < 10 components, so this is the permanent fast path; the
+        # gate falls back to f32 whenever any frame exceeds 255.  The
+        # result normalizes to the f32 convention (background = sentinel
+        # P) so the settle/verify machinery below is branch-agnostic.
+        s16 = jnp.bfloat16(256.0)
+
+        def chunk16(r):
+            if use_pallas:
+                from .pallas.ccl_sweep import sweep_chunk
+
+                return sweep_chunk(r, fg, CHUNK, 256.0)
+            for _ in range(CHUNK):
+                pooled = _min_pool_8(r, 256.0)
+                r = jnp.where(fg, jnp.minimum(r, pooled), s16)
+            return r
+
+        r0 = jnp.where(is_root, ranks3.astype(jnp.bfloat16), s16)
+        r0 = jnp.where(fg, r0, s16)
+        r, ch = _flood(r0, chunk16)
+        return jnp.where(fg, r.astype(jnp.float32), jnp.float32(sentinel)), ch
+
+    rank_map, rchanged = jax.lax.cond(
+        jnp.max(counts) <= 255, small_flood, general_flood, None
     )
-    rank0 = jnp.where(fg, rank0, jnp.float32(sentinel))
-
-    def rank_body(state):
-        r, _, it = state
-        new = pool_chunk(r)
-        return new, jnp.any(new != r), it + CHUNK
-
-    rinit = (rank0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
-    rank_map, rchanged, _ = jax.lax.while_loop(cond(phase1_iters), rank_body, rinit)
     if local_kernel:
         from .pallas.ccl_local import converge_frames
 

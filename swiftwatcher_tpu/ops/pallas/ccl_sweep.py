@@ -29,11 +29,12 @@ from jax.experimental.pallas import tpu as pltpu
 _FRAMES_PER_STEP = 2
 
 
-def _make_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float):
+def _make_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float, bf16_io: bool):
     def kernel(lbl_ref, fg_ref, out_ref):
-        lbl = lbl_ref[...]
-        # bf16 halves the mask's HBM read; Mosaic has no bf16 compare on
-        # v5e, so upcast in VMEM (bf16->f32 extend is supported)
+        # bf16 IO halves label/mask HBM traffic (used for the RANK flood,
+        # whose values are < 256 and therefore bf16-exact); Mosaic has no
+        # bf16 compare on v5e, so compute upcasts to f32 in VMEM.
+        lbl = lbl_ref[...].astype(jnp.float32)
         fg = fg_ref[...].astype(jnp.float32) > 0
         s = jnp.float32(sentinel)
         col_s = jnp.full((F, H, 1), s, lbl.dtype)
@@ -48,7 +49,7 @@ def _make_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float):
             down = jnp.concatenate([rmin[:, 1:, :], row_s], axis=1)
             m = jnp.minimum(jnp.minimum(up, down), rmin)
             lbl = jnp.where(fg, m, s)
-        out_ref[...] = lbl
+        out_ref[...] = lbl.astype(jnp.bfloat16) if bf16_io else lbl
 
     return kernel
 
@@ -61,24 +62,31 @@ def sweep_chunk(
     sentinel: float,
     interpret: bool = False,
 ):
-    """(N, H, W) f32 labels + bool fg -> labels after `sweeps` min-pools.
-    (Convergence is checked by the caller; a fused compare costs one cheap
-    VPU pass.)
+    """(N, H, W) f32 or bf16 labels + bool fg -> labels after `sweeps`
+    min-pools, same dtype out.  (Convergence is checked by the caller; a
+    fused compare costs one cheap VPU pass.)
+
+    bf16 labels are for the rank flood: values < 256 are bf16-exact, and
+    half-width IO halves the flood's HBM traffic.  Compute is f32 either
+    way (v5e Mosaic has no bf16 compare).
 
     Note the separable row/column min includes the center pixel, so the
     per-sweep update min(lbl, pool3x3(lbl)) == pool3x3(lbl) on foreground.
     """
     N, H, W = lbl.shape
-    F = _FRAMES_PER_STEP
+    bf16_io = lbl.dtype == jnp.bfloat16
+    # bf16 IO halves the per-frame block, making room to double the frames
+    # per grid step (fewer step launches) within the same VMEM budget.
+    F = 2 * _FRAMES_PER_STEP if bf16_io else _FRAMES_PER_STEP
     pad = (-N) % F
     if pad:
         lbl = jnp.concatenate(
-            [lbl, jnp.full((pad, H, W), jnp.float32(sentinel))], axis=0
+            [lbl, jnp.full((pad, H, W), sentinel, lbl.dtype)], axis=0
         )
         fg = jnp.concatenate([fg, jnp.zeros((pad, H, W), fg.dtype)], axis=0)
     out = pl.pallas_call(
-        _make_kernel(F, H, W, sweeps, sentinel),
-        out_shape=jax.ShapeDtypeStruct((N + pad, H, W), jnp.float32),
+        _make_kernel(F, H, W, sweeps, sentinel, bf16_io),
+        out_shape=jax.ShapeDtypeStruct((N + pad, H, W), lbl.dtype),
         grid=((N + pad) // F,),
         in_specs=[
             pl.BlockSpec((F, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),

@@ -150,3 +150,50 @@ def test_sweep_chunk_matches_xla_pools(rng):
             jnp.asarray(lbl), jnp.asarray(fg), 6, sentinel, interpret=True
         )
         np.testing.assert_array_equal(np.asarray(out), np.asarray(ref))
+
+
+def test_sweep_chunk_bf16_matches_f32(rng):
+    # bf16-IO sweep (the rank-flood fast path: values < 256 are bf16-exact,
+    # 4 frames per grid step) must equal the f32 kernel bit-for-bit,
+    # including the wider-F padding path (N % 4 != 0).
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.ops.pallas.ccl_sweep import sweep_chunk
+
+    for N in (3, 4, 5):
+        H, W = 24, 40
+        sentinel = 256.0
+        fg = np.stack([_random_blobs(rng, H, W, 0.3) > 0 for _ in range(N)])
+        idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]) % 200
+        lbl = np.where(fg, idx[None].astype(np.float32), np.float32(sentinel))
+
+        ref = sweep_chunk(jnp.asarray(lbl), jnp.asarray(fg), 6, sentinel, True)
+        out = sweep_chunk(
+            jnp.asarray(lbl).astype(jnp.bfloat16),
+            jnp.asarray(fg),
+            6,
+            sentinel,
+            interpret=True,
+        )
+        assert out.dtype == jnp.bfloat16
+        np.testing.assert_array_equal(
+            np.asarray(out.astype(jnp.float32)), np.asarray(ref)
+        )
+
+
+def test_rank_flood_gate_boundary():
+    """The bf16 rank-flood fast path gates on max per-frame component count
+    <= 255 (bf16-exact values); both sides of the boundary must label
+    identically to scipy's oracle numbering-in-raster-order."""
+    from scipy import ndimage
+
+    for n_pts in (255, 256, 257):
+        img = np.zeros((40, 80), bool)
+        ys, xs = np.divmod(np.arange(n_pts) * 2, 80)
+        img[ys * 2, xs] = True          # isolated pixels, raster order
+        labels, counts = label_components(img[None])
+        assert int(counts[0]) == n_pts
+        lab = np.asarray(labels)[0]
+        ref, nref = ndimage.label(img, structure=np.ones((3, 3)))
+        assert nref == n_pts
+        np.testing.assert_array_equal(lab, ref)  # raster numbering agrees
