@@ -1,6 +1,7 @@
 """CCL + region tables vs cv2.connectedComponents and hand-rolled regionprops."""
 
 import cv2
+import jax.numpy as jnp
 import numpy as np
 import pytest
 
@@ -197,3 +198,84 @@ def test_rank_flood_gate_boundary():
         ref, nref = ndimage.label(img, structure=np.ones((3, 3)))
         assert nref == n_pts
         np.testing.assert_array_equal(lab, ref)  # raster numbering agrees
+
+
+def _oracle_converged(fg):
+    """(T, H, W) bool -> (min-index fixpoint f32 labels, compact int32)."""
+    from scipy import ndimage
+
+    T, H, W = fg.shape
+    P = H * W
+    idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.int64)
+    lbl = np.full((T, H, W), float(P), np.float32)
+    want = np.zeros((T, H, W), np.int32)
+    for t in range(T):
+        cc, n = ndimage.label(fg[t], structure=np.ones((3, 3)))
+        if not n:
+            continue
+        mins = np.asarray(ndimage.minimum(idx, cc, index=np.arange(1, n + 1)))
+        lbl[t][fg[t]] = mins[cc[fg[t]] - 1]
+        order = np.argsort(mins)
+        remap = np.empty(n, np.int32)
+        remap[order] = np.arange(1, n + 1)
+        want[t][fg[t]] = remap[cc[fg[t]] - 1]
+    return lbl, want
+
+
+def _numpy_min_flood(rank, fg, sentinel):
+    """Finish a partial min flood to its fixpoint (oracle for the caller's
+    chunked-flood contract)."""
+    out = rank.copy()
+    while True:
+        p = np.pad(out, ((1, 1), (1, 1)), constant_values=sentinel)
+        pooled = np.min(
+            [p[dy:dy + out.shape[0], dx:dx + out.shape[1]]
+             for dy in range(3) for dx in range(3)],
+            axis=0,
+        )
+        new = np.where(fg, np.minimum(out, pooled), sentinel)
+        if np.array_equal(new, out):
+            return out
+        out = new
+
+
+def test_rank_seed_sweep_interpret(rng):
+    """The one-pass Pallas compaction (seed ranks via in-VMEM cumsum + S
+    min sweeps) is exact for small blobs and leaves larger components in a
+    state the caller's chunked flood finishes to the exact compact labels
+    (the TPU fast path in ops/ccl.py label_components)."""
+    from swiftwatcher_tpu.ops.pallas.rank_compact import rank_seed_sweep
+
+    H, W = 48, 80
+    P = H * W
+    fg = np.zeros((4, H, W), bool)
+    # frame 0: small separated blobs (converge inside the kernel)
+    for cy, cx, r in [(5, 7, 2), (5, 30, 1), (20, 7, 3), (40, 70, 2)]:
+        fg[0, cy - r:cy + r + 1, cx - r:cx + r + 1] = True
+    # frame 1: a long horizontal snake (flood distance >> sweeps)
+    fg[1, 10, 5:70] = True
+    fg[1, 30, 3] = True
+    # frame 2: empty; frame 3: dense random speckle (many merges)
+    fg[3] = rng.random((H, W)) > 0.6
+    lbl, want = _oracle_converged(fg)
+
+    rank = np.asarray(
+        rank_seed_sweep(jnp.asarray(lbl), 6, float(P), interpret=True)
+    )
+    # frame 0 is exact straight out of the kernel
+    np.testing.assert_array_equal(
+        np.where(fg[0], rank[0].astype(np.int64), 0), want[0]
+    )
+    assert np.all(rank[2] == float(P))  # empty frame: all sentinel
+    for t in range(4):
+        # roots always carry their exact 1-based raster rank
+        roots = lbl[t] == (
+            np.arange(H)[:, None] * W + np.arange(W)[None, :]
+        ).astype(np.float32)
+        roots &= fg[t]
+        np.testing.assert_array_equal(rank[t][roots], want[t][roots])
+        # the caller's finish contract: min-flooding to fixpoint = compact
+        done = _numpy_min_flood(rank[t], fg[t], float(P))
+        np.testing.assert_array_equal(
+            np.where(fg[t], done.astype(np.int64), 0), want[t]
+        )
