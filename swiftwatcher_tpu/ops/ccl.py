@@ -166,6 +166,87 @@ def label_components(
         )
         return lbl
 
+    if local_kernel:
+        # The ENTIRE realistic-scene CCL — label seed + S sweeps + root
+        # ranking cumsum + rank seed + S sweeps — runs as ONE VMEM-resident
+        # Pallas pass (ops/pallas/rank_compact.py:label_rank_fused),
+        # replacing the chunked label flood (init ~4 ms + ~12 ms/672f), the
+        # (T, P) cumsum (~9 ms) and the chunked rank flood (~16 ms).  The
+        # label and rank floods are isomorphic (one min propagating from
+        # the component's unique root per sweep), so ONE pool-pass verify
+        # of the label fixpoint certifies the rank map too; frames with
+        # components deeper than S sweeps (giant merges, snakes) recompute
+        # through the chunked flood/settle machinery + the standalone
+        # compaction kernel — bit-identical labels for ANY input.
+        from .pallas.ccl_local import converge_frames
+        from .pallas.rank_compact import (
+            RANK_SWEEPS,
+            label_rank_fused,
+            rank_seed_sweep,
+        )
+        from .scan import rowwise_mask_cumsum
+
+        lblk, labk = label_rank_fused(fg, RANK_SWEEPS, sentinel)
+        lchanged = verify_fixpoint(lblk)
+
+        def compact_from(lbl):
+            """Compaction for a CONVERGED label image (fallback path)."""
+            rank_map = rank_seed_sweep(lbl, RANK_SWEEPS, sentinel)
+            rchanged = verify_fixpoint(rank_map)
+
+            def rank_body(state):
+                r, _, it = state
+                new = pool_chunk(r)
+                return new, jnp.any(new != r), it + CHUNK
+
+            rank_map, rchanged, _ = jax.lax.while_loop(
+                cond(phase1_iters), rank_body,
+                (rank_map, rchanged, jnp.asarray(0, jnp.int32)),
+            )
+            rank_map = jax.lax.cond(
+                rchanged,
+                lambda r: converge_frames(r, fg, max_iters, sentinel),
+                lambda r: r,
+                rank_map,
+            )
+            rchanged = jax.lax.cond(
+                rchanged, verify_fixpoint, lambda r: jnp.asarray(False),
+                rank_map,
+            )
+
+            def gather_fallback(r):
+                # pathological (snake-like) components: one exact gather
+                is_root = jnp.logical_and(fg, lbl == idx.astype(jnp.float32))
+                ranks = rowwise_mask_cumsum(is_root.reshape(T, P))
+                ext = jnp.concatenate(
+                    [ranks, jnp.zeros((T, 1), jnp.int32)], axis=1
+                )
+                g = jnp.take_along_axis(
+                    ext, lbl.astype(jnp.int32).reshape(T, P), axis=1
+                )
+                return g.reshape(T, H, W).astype(jnp.float32)
+
+            return jax.lax.cond(rchanged, gather_fallback, lambda r: r, rank_map)
+
+        def fast_path(_):
+            # labels come compact straight from the kernel; the count is
+            # their frame max (background 0)
+            return labk, jnp.max(labk, axis=(1, 2))
+
+        def slow_path(_):
+            # continue the label flood from the kernel's swept state
+            lbl, ch, _ = jax.lax.while_loop(
+                cond(phase1_iters), phase1_body,
+                (lblk, jnp.asarray(True), jnp.asarray(0, jnp.int32)),
+            )
+            rank_map = compact_from(settle(lbl, ch))
+            counts = jnp.max(
+                jnp.where(rank_map < sentinel, rank_map, 0.0), axis=(1, 2)
+            ).astype(jnp.int32)
+            return jnp.where(fg, rank_map.astype(jnp.int32), 0), counts
+
+        return jax.lax.cond(lchanged, slow_path, fast_path, None)
+
     init = (lbl0, jnp.asarray(True), jnp.asarray(0, jnp.int32))
     lbl, changed, _ = jax.lax.while_loop(cond(phase1_iters), phase1_body, init)
     lbl = settle(lbl, changed)
@@ -178,63 +259,6 @@ def label_components(
     from .scan import rowwise_mask_cumsum
 
     is_root = jnp.logical_and(fg, lbl == idx.astype(jnp.float32))
-
-    if local_kernel:
-        # One-HBM-pass compaction: the whole frame stays in VMEM while an
-        # in-register raster cumsum ranks the roots and S min sweeps flood
-        # them (ops/pallas/rank_compact.py) — replaces the (T, P) cumsum
-        # (~9 ms/672f) + chunked rank flood (~16 ms) with ~10 ms total.
-        # Components whose flood distance exceeds S fall through to the
-        # chunked flood / converge / gather machinery below, so the final
-        # labels are bit-identical to the XLA path for ANY input.
-        from .pallas.ccl_local import converge_frames
-        from .pallas.rank_compact import RANK_SWEEPS, rank_seed_sweep
-
-        rank_map = rank_seed_sweep(lbl, RANK_SWEEPS, sentinel)
-        # Roots carry their exact 1-based rank even before the flood
-        # finishes, so the per-frame component count is the frame max of
-        # the rank map — XLA fuses this read with the verify pass below
-        # (cheaper than re-reading lbl for a root-mask sum).
-        counts = jnp.max(
-            jnp.where(rank_map < sentinel, rank_map, 0.0), axis=(1, 2)
-        ).astype(jnp.int32)
-        rchanged = verify_fixpoint(rank_map)
-
-        def rank_body(state):
-            r, _, it = state
-            new = pool_chunk(r)
-            return new, jnp.any(new != r), it + CHUNK
-
-        rank_map, rchanged, _ = jax.lax.while_loop(
-            cond(phase1_iters), rank_body,
-            (rank_map, rchanged, jnp.asarray(0, jnp.int32)),
-        )
-        rank_map = jax.lax.cond(
-            rchanged,
-            lambda r: converge_frames(r, fg, max_iters, sentinel),
-            lambda r: r,
-            rank_map,
-        )
-        rchanged = jax.lax.cond(
-            rchanged, verify_fixpoint, lambda r: jnp.asarray(False), rank_map
-        )
-
-        def gather_fallback(r):
-            # pathological (snake-like) components: one gather resolves it
-            ranks = rowwise_mask_cumsum(is_root.reshape(T, P))
-            ext = jnp.concatenate(
-                [ranks, jnp.zeros((T, 1), jnp.int32)], axis=1
-            )
-            g = jnp.take_along_axis(
-                ext, lbl.astype(jnp.int32).reshape(T, P), axis=1
-            )
-            return g.reshape(T, H, W).astype(jnp.float32)
-
-        rank_map = jax.lax.cond(
-            rchanged, gather_fallback, lambda r: r, rank_map
-        )
-        labels = jnp.where(fg, rank_map.astype(jnp.int32), 0)
-        return labels, counts
 
     ranks = rowwise_mask_cumsum(is_root.reshape(T, P))  # 1-based at roots
     counts = ranks[:, -1]

@@ -1,4 +1,4 @@
-"""Pallas kernel: seed compact CCL ranks and flood them in ONE HBM pass.
+"""Pallas kernels: whole-CCL and rank-compaction passes that ride VMEM.
 
 After the label flood converges, every foreground pixel holds its
 component's root (minimum linear raster index); the reference's label
@@ -8,109 +8,204 @@ label is the RANK of its root among the frame's roots
 ops/ccl.py).  The XLA compaction ranks roots with a (T, P) two-level
 cumulative sum (~9 ms per 672-frame batch) and then FLOODS ranks back
 through each component with a second chunked min-pool flood (~16 ms) —
-every chunk a full HBM round trip.
+every chunk a full HBM round trip, on top of the chunked label flood
+itself (init ~4 ms + ~12 ms).
 
-Here the whole frame stays in VMEM for the entire compaction:
+Two kernels keep the whole frame in VMEM instead:
 
-  * rank the roots with an in-register raster cumsum of the root mask
-    (lane-axis log-shift prefix sums + a row-offset prefix over the
-    per-row totals);
-  * seed rank[root] = cumsum[root], everything else = sentinel;
-  * run S separable 3x3 min sweeps back to back (identical arithmetic to
-    ccl_sweep.py) — realistic swift blobs (diameter < S) reach their
-    fixpoint inside the kernel; the caller verifies convergence with one
-    cheap pool pass and finishes pathological frames with the existing
-    chunked flood / whole-frame converge machinery — bit-identical output.
+  * `label_rank_fused` — the ENTIRE realistic-scene CCL in one HBM pass:
+    seed labels with the raster iota, run S separable 3x3 min sweeps,
+    rank the surviving roots with an in-register raster cumsum (lane-axis
+    log-shift prefix sums + a row-offset prefix over per-row totals),
+    seed rank[root] = cumsum[root], and run S more sweeps to flood them.
+    One read of the fg mask, one write each of the swept labels and the
+    rank map.
+  * `rank_seed_sweep` — the compaction half alone (cumsum + seed + S
+    sweeps) for the fallback path that finished a pathological label
+    flood with the chunked machinery first.
 
-One HBM read of the converged labels (the foreground mask is implicit:
-lbl < sentinel), one write of the rank map: the cumsum, the seed and all
-S sweeps ride VMEM.  Measured on v5e at (672, 216, 432): 9.6 ms vs
-~25.5 ms for the two-level cumsum + chunked bf16 rank flood it replaces.
+Correctness contract (ops/ccl.py): the label flood and the rank flood are
+isomorphic — both propagate a minimum from the component's unique root at
+one pixel per sweep over the same 8-neighborhood — so the label image
+converging within S sweeps implies the rank map did too.  The caller
+verifies the LABEL fixpoint with one cheap pool pass; frames that fail it
+(flood distance > S: giant or snake-like components) are recomputed
+through the chunked flood / whole-frame converge machinery, so final
+labels are bit-identical for ANY input.  Rank values are f32-exact for
+any component count (< 2^24).
+
+Measured on v5e at (672, 216, 432) realistic blobs, full label_components
+(matched chip moods): chunked XLA+sweep path 41.6 ms -> rank_seed_sweep
+integration 29.4 ms -> label_rank_fused integration 18.5 ms.  Resident
+bench same-moment A/B: 4694 -> 4744 fps over the rank_seed_sweep step
+(and 4440 -> 4775 over the original chunked path).
 """
 
 from __future__ import annotations
 
 import functools
+from typing import Tuple
+
 import jax
 import jax.numpy as jnp
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
-# Frames per grid step: the body keeps ~6 (H, W) f32 temps live per frame;
-# 2 frames at crop sizes is ~5 MB against the ~16 MB scoped-VMEM budget.
+# Frames per grid step: the fused body keeps ~8 (H, W) f32 temps live per
+# frame; 2 frames at crop sizes is ~6 MB against the ~16 MB scoped-VMEM
+# budget.
 _FRAMES_PER_STEP = 2
 
-# Sweeps fused after seeding.  Covers components of flood distance <= 12
+# Sweeps per flood stage.  Covers components of flood distance <= 12
 # — single blobs AND merged blob pairs (the realistic worst case), so the
 # caller's chunked finish flood almost never runs; larger components are
 # finished there exactly.  Swept on v5e over the FULL label_components at
-# (672, 216, 432) realistic blobs: 6 -> 37.5 ms (stragglers pay chunked
-# HBM round trips), 10 -> 35.9, 12 -> 29.4, 14 -> 29.8.
+# (672, 216, 432) realistic blobs (rank_seed_sweep integration):
+# 6 -> 37.5 ms (stragglers pay chunked HBM round trips), 10 -> 35.9,
+# 12 -> 29.4, 14 -> 29.8.
 RANK_SWEEPS = 12
 
 
-def _make_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float):
+def _sweep(x, fg, P, sweeps):
+    """S separable 3x3 min sweeps (identical arithmetic to ccl_sweep.py)."""
+    H, W = x.shape
+    col_s = jnp.full((H, 1), P, jnp.float32)
+    row_s = jnp.full((1, W), P, jnp.float32)
+    for _ in range(sweeps):
+        left = jnp.concatenate([col_s, x[:, :-1]], axis=1)
+        right = jnp.concatenate([x[:, 1:], col_s], axis=1)
+        rmin = jnp.minimum(jnp.minimum(left, right), x)
+        up = jnp.concatenate([row_s, rmin[:-1, :]], axis=0)
+        down = jnp.concatenate([rmin[1:, :], row_s], axis=0)
+        x = jnp.where(fg, jnp.minimum(jnp.minimum(up, down), rmin), jnp.float32(P))
+    return x
+
+
+def _seed_ranks(lbl, fg, idx, P):
+    """Rank roots (lbl == own index) in raster order via in-register
+    prefix sums; return the seeded rank image (roots exact, else P).
+
+    Mosaic layout constraints shape this code: no width-1 columns, no
+    keepdims reductions — row totals are broadcast with a lane
+    max-butterfly over the monotone inclusive cumsum, and the row-offset
+    prefix runs at full width W (the same (s, W)/(H-s, W) sublane concat
+    shape the production sweep kernel uses)."""
+    H, W = lbl.shape
+    is_root = jnp.logical_and(fg, lbl == idx)
+    m = jnp.where(is_root, 1.0, 0.0)
+    # inclusive within-row prefix sum (lane-axis log shifts)
+    rc = m
+    s = 1
+    while s < W:
+        z = jnp.zeros((H, s), jnp.float32)
+        rc = rc + jnp.concatenate([z, rc[:, : W - s]], axis=1)
+        s <<= 1
+    # row totals broadcast across lanes: max of any suffix == rc[:, -1]
+    base = rc
+    s = 1
+    while s < W:
+        z = jnp.zeros((H, s), jnp.float32)      # rc >= 0
+        base = jnp.maximum(base, jnp.concatenate([base[:, s:], z], axis=1))
+        s <<= 1
+    # exclusive row-offset prefix over per-row totals, at full width
+    inc = base
+    s = 1
+    while s < H:
+        z = jnp.zeros((s, W), jnp.float32)
+        inc = inc + jnp.concatenate([z, inc[: H - s, :]], axis=0)
+        s <<= 1
+    csum = rc + (inc - base)                    # raster-order root rank
+    return jnp.where(is_root, csum, jnp.float32(P))
+
+
+def _iota_idx(H, W):
+    row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+    col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+    return (row * W + col).astype(jnp.float32)  # exact: H*W < 2^24
+
+
+def _make_fused_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float):
+    P = float(sentinel)
+
+    def kernel(fg_ref, lbl_ref, out_ref):
+        # Per-frame 2D bodies: Mosaic's layout rules want >= 2 dims on
+        # reductions/broadcasts.
+        for f in range(F):
+            fg = fg_ref[f].astype(jnp.float32) > 0
+            idx = _iota_idx(H, W)
+            lbl = jnp.where(fg, idx, jnp.float32(P))
+            lbl = _sweep(lbl, fg, P, sweeps)
+            lbl_ref[f] = lbl
+            rank = _seed_ranks(lbl, fg, idx, P)
+            rank = _sweep(rank, fg, P, sweeps)
+            # emit FINAL compact labels (background 0) — saves the caller
+            # a separate (T, P) convert pass on the fast path
+            out_ref[f] = jnp.where(fg, rank, 0.0).astype(jnp.int32)
+
+    return kernel
+
+
+def _make_rank_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float):
     P = float(sentinel)
 
     def kernel(lbl_ref, out_ref):
-        # Per-frame 2D bodies: Mosaic's layout rules want >= 2 dims on
-        # reductions/broadcasts ((1,1)-keepdims is the supported shape).
         for f in range(F):
             lbl = lbl_ref[f]                        # (H, W) f32
             # the converged label image already encodes the mask
             fg = lbl < jnp.float32(P)
-            row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-            idx = (row * W + col).astype(jnp.float32)   # exact: P < 2^24
-            is_root = jnp.logical_and(fg, lbl == idx)
-            m = jnp.where(is_root, 1.0, 0.0)
-            # inclusive within-row prefix sum (lane-axis log shifts)
-            rc = m
-            s = 1
-            while s < W:
-                z = jnp.zeros((H, s), jnp.float32)
-                rc = rc + jnp.concatenate([z, rc[:, : W - s]], axis=1)
-                s <<= 1
-            # Row totals broadcast across lanes WITHOUT width-1 arrays or
-            # keepdims reductions (both hit Mosaic layout limits): a lane
-            # max-butterfly over the monotone inclusive cumsum leaves every
-            # lane holding its row's total (max of any suffix == rc[:, -1]).
-            base = rc
-            s = 1
-            while s < W:
-                z = jnp.zeros((H, s), jnp.float32)      # rc >= 0
-                base = jnp.maximum(
-                    base, jnp.concatenate([base[:, s:], z], axis=1)
-                )
-                s <<= 1
-            # exclusive row-offset prefix over per-row totals, at full width
-            # — the same (s, W)/(H-s, W) sublane concat shape the production
-            # sweep kernel uses.
-            inc = base
-            s = 1
-            while s < H:
-                z = jnp.zeros((s, W), jnp.float32)
-                inc = inc + jnp.concatenate([z, inc[: H - s, :]], axis=0)
-                s <<= 1
-            csum = rc + (inc - base)                # raster-order root rank
-            rank = jnp.where(is_root, csum, jnp.float32(P))
-            # S separable 3x3 min sweeps (same arithmetic as ccl_sweep.py)
-            col_s = jnp.full((H, 1), P, jnp.float32)
-            row_s = jnp.full((1, W), P, jnp.float32)
-            prev = rank
-            for i in range(sweeps):
-                prev = rank
-                left = jnp.concatenate([col_s, rank[:, :-1]], axis=1)
-                right = jnp.concatenate([rank[:, 1:], col_s], axis=1)
-                rmin = jnp.minimum(jnp.minimum(left, right), rank)
-                up = jnp.concatenate([row_s, rmin[:-1, :]], axis=0)
-                down = jnp.concatenate([rmin[1:, :], row_s], axis=0)
-                rank = jnp.where(
-                    fg, jnp.minimum(jnp.minimum(up, down), rmin), jnp.float32(P)
-                )
-            out_ref[f] = rank
+            rank = _seed_ranks(lbl, fg, _iota_idx(H, W), P)
+            out_ref[f] = _sweep(rank, fg, P, sweeps)
 
     return kernel
+
+
+def _pad_frames(x, pad, fill):
+    if not pad:
+        return x
+    H, W = x.shape[1], x.shape[2]
+    return jnp.concatenate(
+        [x, jnp.full((pad, H, W), fill, x.dtype)], axis=0
+    )
+
+
+@functools.partial(jax.jit, static_argnames=("sweeps", "sentinel", "interpret"))
+def label_rank_fused(
+    fg: jnp.ndarray,
+    sweeps: int,
+    sentinel: float,
+    interpret: bool = False,
+) -> Tuple[jnp.ndarray, jnp.ndarray]:
+    """(N, H, W) bool fg -> (swept f32 labels, compact int32 labels).
+
+    Labels are seeded with the raster iota (background = sentinel == H*W)
+    and min-swept `sweeps` times; ranks are seeded from the roots that
+    survive those sweeps, swept as many times again, and emitted as the
+    final compact int32 labeling (background 0).  If the f32 label output
+    is at its flood fixpoint (caller verifies with one pool pass), the
+    compact labels are exact (see module docstring); otherwise the caller
+    recomputes through the chunked machinery.
+    """
+    N, H, W = fg.shape
+    F = _FRAMES_PER_STEP
+    pad = (-N) % F
+    fgp = _pad_frames(fg.astype(jnp.bfloat16), pad, 0)
+    lbl, rank = pl.pallas_call(
+        _make_fused_kernel(F, H, W, sweeps, sentinel),
+        out_shape=(
+            jax.ShapeDtypeStruct((N + pad, H, W), jnp.float32),
+            jax.ShapeDtypeStruct((N + pad, H, W), jnp.int32),
+        ),
+        grid=((N + pad) // F,),
+        in_specs=[
+            pl.BlockSpec((F, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        ],
+        out_specs=(
+            pl.BlockSpec((F, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+            pl.BlockSpec((F, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
+        ),
+        interpret=interpret,
+    )(fgp)
+    return (lbl[:N], rank[:N]) if pad else (lbl, rank)
 
 
 @functools.partial(jax.jit, static_argnames=("sweeps", "sentinel", "interpret"))
@@ -137,12 +232,9 @@ def rank_seed_sweep(
     N, H, W = lbl.shape
     F = _FRAMES_PER_STEP
     pad = (-N) % F
-    if pad:
-        lbl = jnp.concatenate(
-            [lbl, jnp.full((pad, H, W), sentinel, lbl.dtype)], axis=0
-        )
+    lblp = _pad_frames(lbl.astype(jnp.float32), pad, sentinel)
     rank = pl.pallas_call(
-        _make_kernel(F, H, W, sweeps, sentinel),
+        _make_rank_kernel(F, H, W, sweeps, sentinel),
         out_shape=jax.ShapeDtypeStruct((N + pad, H, W), jnp.float32),
         grid=((N + pad) // F,),
         in_specs=[
@@ -150,5 +242,5 @@ def rank_seed_sweep(
         ],
         out_specs=pl.BlockSpec((F, H, W), lambda n: (n, 0, 0), memory_space=pltpu.VMEM),
         interpret=interpret,
-    )(lbl.astype(jnp.float32))
+    )(lblp)
     return rank[:N] if pad else rank

@@ -279,3 +279,36 @@ def test_rank_seed_sweep_interpret(rng):
         np.testing.assert_array_equal(
             np.where(fg[t], done.astype(np.int64), 0), want[t]
         )
+
+
+def test_label_rank_fused_interpret(rng):
+    """The fused whole-CCL kernel (label seed + sweeps + ranking cumsum +
+    rank sweeps in one pass): when its label output verifies as a flood
+    fixpoint, its rank output IS the exact compact labeling (the
+    label/rank flood isomorphism the TPU fast path relies on); when the
+    label output is NOT converged (deep components), the caller's fallback
+    recomputes — here we just assert the flag trips."""
+    from swiftwatcher_tpu.ops.pallas.rank_compact import label_rank_fused
+
+    H, W = 48, 80
+    P = H * W
+    fg = np.zeros((4, H, W), bool)
+    for cy, cx, r in [(5, 7, 2), (5, 30, 1), (20, 7, 3), (40, 70, 2)]:
+        fg[0, cy - r:cy + r + 1, cx - r:cx + r + 1] = True
+    fg[1, 10, 5:70] = True          # snake: flood distance >> sweeps
+    fg[3] = rng.random((H, W)) > 0.75
+    lbl_want, want = _oracle_converged(fg)
+
+    S = 12
+    lbl, lab = label_rank_fused(jnp.asarray(fg), S, float(P), interpret=True)
+    lbl, lab = np.asarray(lbl), np.asarray(lab)
+    for t in (0, 2):
+        # small blobs / empty: labels converge -> compact labels are exact
+        np.testing.assert_array_equal(lbl[t], lbl_want[t])
+        np.testing.assert_array_equal(lab[t], want[t])
+    # the snake frame must NOT verify as converged (caller falls back)
+    assert not np.array_equal(lbl[1], lbl_want[1])
+    # frame 3 (speckle with shallow merges): check the isomorphism contract
+    # — if labels converged, the compact labels must equal the oracle
+    if np.array_equal(lbl[3], lbl_want[3]):
+        np.testing.assert_array_equal(lab[3], want[3])
