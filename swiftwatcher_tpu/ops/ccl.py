@@ -122,11 +122,18 @@ def label_components(
         return new, jnp.any(new != lbl), it + CHUNK
 
     def phase2_body(state):
+        # Counts ONE unit per round (not CHUNK): the round's pools+jump are
+        # a single halving step of the pointer forest, and charging CHUNK
+        # against max_iters quartered the jump budget — a (216, 432) dense
+        # speckle needs 77 rounds (measured) and was splitting one giant
+        # serpentine component at the 64-round cap.  The operator is
+        # monotone decreasing, so max_iters rounds is a safety bound, not
+        # a semantic knob.
         lbl, _, it = state
         cand = pool_chunk(lbl)
         flat = jump(cand.reshape(T, P))
         new = jnp.where(fg, flat.reshape(T, H, W), sentinel)
-        return new, jnp.any(new != lbl), it + CHUNK
+        return new, jnp.any(new != lbl), it + 1
 
     def cond(limit):
         def _c(state):

@@ -312,3 +312,24 @@ def test_label_rank_fused_interpret(rng):
     # — if labels converged, the compact labels must equal the oracle
     if np.array_equal(lbl[3], lbl_want[3]):
         np.testing.assert_array_equal(lab[3], want[3])
+
+
+def test_ccl_giant_serpentine_converges(rng):
+    """Dense speckle produces one giant serpentine component whose
+    pointer-jump convergence needs ~77 phase-2 rounds; charging CHUNK
+    (not 1) per round against ccl_max_iters capped the budget at 64 and
+    split the component (off-by-one count).  Regression for the
+    pure-XLA fallback path."""
+    from scipy import ndimage
+
+    fg = rng.random((1, 216, 432)) > 0.62
+    labels, counts = label_components(jnp.asarray(fg), use_pallas=False)
+    cc, n = ndimage.label(fg[0], structure=np.ones((3, 3)))
+    assert int(counts[0]) == n
+    idx = (np.arange(216)[:, None] * 432 + np.arange(432)[None, :]).astype(np.int64)
+    mins = np.asarray(ndimage.minimum(idx, cc, index=np.arange(1, n + 1)))
+    order = np.argsort(mins)
+    remap = np.empty(n, np.int32)
+    remap[order] = np.arange(1, n + 1)
+    want = np.where(fg[0], remap[np.maximum(cc, 1) - 1], 0)
+    np.testing.assert_array_equal(np.asarray(labels)[0], want)
