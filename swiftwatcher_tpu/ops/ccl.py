@@ -194,7 +194,10 @@ def label_components(
         from .scan import rowwise_mask_cumsum
 
         lblk, labk = label_rank_fused(fg, RANK_SWEEPS, sentinel)
-        lchanged = verify_fixpoint(lblk)
+        # The kernel certifies convergence in-VMEM (one extra sweep) and
+        # encodes the per-frame flag as a negative value at lblk[:, 0, 0]
+        # — reading T scalars here replaces a full pool-pass verify.
+        lchanged = jnp.any(lblk[:, 0, 0] < 0.0)
 
         def compact_from(lbl):
             """Compaction for a CONVERGED label image (fallback path)."""
@@ -241,10 +244,12 @@ def label_components(
             return labk, jnp.max(labk, axis=(1, 2))
 
         def slow_path(_):
-            # continue the label flood from the kernel's swept state
+            # decode the flag marker, then continue the label flood from
+            # the kernel's swept state
+            lbl0k = jnp.where(lblk < 0.0, -lblk - 1.0, lblk)
             lbl, ch, _ = jax.lax.while_loop(
                 cond(phase1_iters), phase1_body,
-                (lblk, jnp.asarray(True), jnp.asarray(0, jnp.int32)),
+                (lbl0k, jnp.asarray(True), jnp.asarray(0, jnp.int32)),
             )
             rank_map = compact_from(settle(lbl, ch))
             counts = jnp.max(
