@@ -6,14 +6,20 @@ bottleneck" (__main__.py:78) — with a batched, jittable label-propagation
 kernel over the whole (T, H, W) window:
 
   * init: every foreground pixel's label = its linear raster index
-  * converge: on TPU, the whole frame floods to its exact fixpoint inside
-    one VMEM-resident Pallas kernel (ops/pallas/ccl_local.py — min-pool +
-    segmented row/column scans, O(direction changes) super-sweeps); the
-    XLA fallback iterates 8-neighborhood min-pools plus pointer-jumping
-    (path-halving) gathers
-  * compact: a component's root is its minimum linear index == its first
-    raster-scan pixel, so ranking roots by a per-frame cumulative sum yields
-    labels 1..N in raster-first-occurrence order.
+  * TPU fast path: the ENTIRE realistic-scene CCL (label seed + S min
+    sweeps + root-ranking raster cumsum + rank seed + S more sweeps + a
+    convergence certificate) runs as ONE VMEM-resident Pallas pass
+    (ops/pallas/rank_compact.py:label_rank_fused); frames whose
+    components are deeper than S sweeps recompute through the chunked
+    machinery below — bit-identical labels for ANY input
+  * fallback converge: chunked in-VMEM sweep kernels (ccl_sweep.py), the
+    whole-frame scan-flood kernel (ccl_local.py — O(direction changes)
+    super-sweeps), and on non-TPU backends 8-neighborhood min-pools plus
+    pointer-jumping (path-halving) gathers
+  * fallback compact: a component's root is its minimum linear index ==
+    its first raster-scan pixel, so ranking roots by a per-frame
+    cumulative sum and flooding ranks back yields labels 1..N in
+    raster-first-occurrence order.
 
 Connectivity is 8 — the reference passes `4` positionally into the *labels*
 output slot of the cv2 binding, so its effective connectivity is the default
@@ -180,8 +186,8 @@ def label_components(
         # replacing the chunked label flood (init ~4 ms + ~12 ms/672f), the
         # (T, P) cumsum (~9 ms) and the chunked rank flood (~16 ms).  The
         # label and rank floods are isomorphic (one min propagating from
-        # the component's unique root per sweep), so ONE pool-pass verify
-        # of the label fixpoint certifies the rank map too; frames with
+        # the component's unique root per sweep), so the kernel's own
+        # label-fixpoint certificate covers the rank map too; frames with
         # components deeper than S sweeps (giant merges, snakes) recompute
         # through the chunked flood/settle machinery + the standalone
         # compaction kernel — bit-identical labels for ANY input.

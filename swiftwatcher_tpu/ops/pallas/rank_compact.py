@@ -131,32 +131,51 @@ def _make_fused_kernel(F: int, H: int, W: int, sweeps: int, sentinel: float):
         # Per-frame 2D bodies: Mosaic's layout rules want >= 2 dims on
         # reductions/broadcasts.
         for f in range(F):
-            fg = fg_ref[f].astype(jnp.float32) > 0
-            idx = _iota_idx(H, W)
-            lbl = jnp.where(fg, idx, jnp.float32(P))
-            lbl = _sweep(lbl, fg, P, sweeps)
-            # In-kernel convergence certificate: one extra sweep while the
-            # frame is VMEM-resident (~0.3 ms/batch) replaces the caller's
-            # XLA pool-pass verify (~2-3 ms).  The sweep operator is
-            # monotone with a unique fixpoint, so one no-op sweep proves
-            # convergence.  The flag rides in the f32 label output at
-            # [0, 0] as a NEGATIVE encoding (-(v+1)); only the slow branch
-            # consumes lblk and decodes it back (ops/ccl.py).
-            probe = _sweep(lbl, fg, P, 1)
-            changed = jnp.max(
-                jnp.where(probe != lbl, 1.0, 0.0), keepdims=True
-            )                                                    # (1, 1)
-            row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
-            col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
-            at00 = jnp.logical_and(row == 0, col == 0)
-            lbl_ref[f] = jnp.where(
-                jnp.logical_and(at00, changed > 0.0), -(lbl + 1.0), lbl
+            fgf = fg_ref[f].astype(jnp.float32)
+
+            def full_frame(fgf=fgf):
+                fg = fgf > 0
+                idx = _iota_idx(H, W)
+                lbl = jnp.where(fg, idx, jnp.float32(P))
+                lbl = _sweep(lbl, fg, P, sweeps)
+                # In-kernel convergence certificate: one extra sweep while
+                # the frame is VMEM-resident (~0.3 ms/batch) replaces the
+                # caller's XLA pool-pass verify (~2-3 ms).  The sweep
+                # operator is monotone with a unique fixpoint, so one
+                # no-op sweep proves convergence.  The flag rides in the
+                # f32 label output at [0, 0] as a NEGATIVE encoding
+                # (-(v+1)); only the slow branch consumes lblk and decodes
+                # it back (ops/ccl.py).
+                probe = _sweep(lbl, fg, P, 1)
+                changed = jnp.max(
+                    jnp.where(probe != lbl, 1.0, 0.0), keepdims=True
+                )                                                # (1, 1)
+                row = jax.lax.broadcasted_iota(jnp.int32, (H, W), 0)
+                col = jax.lax.broadcasted_iota(jnp.int32, (H, W), 1)
+                at00 = jnp.logical_and(row == 0, col == 0)
+                lbl_out = jnp.where(
+                    jnp.logical_and(at00, changed > 0.0), -(lbl + 1.0), lbl
+                )
+                rank = _seed_ranks(lbl, fg, idx, P)
+                rank = _sweep(rank, fg, P, sweeps)
+                # FINAL compact labels (background 0) — saves the caller a
+                # separate (T, P) convert pass on the fast path
+                return lbl_out, jnp.where(fg, rank, 0.0).astype(jnp.int32)
+
+            def empty_frame():
+                # post-filtered surveillance frames are often ALL-quiet
+                # (42% on the bench scene): skip the sweeps + cumsum and
+                # emit the converged empty result directly
+                return (
+                    jnp.full((H, W), jnp.float32(P)),
+                    jnp.zeros((H, W), jnp.int32),
+                )
+
+            lblo, labo = jax.lax.cond(
+                jnp.max(fgf) > 0.0, full_frame, empty_frame
             )
-            rank = _seed_ranks(lbl, fg, idx, P)
-            rank = _sweep(rank, fg, P, sweeps)
-            # emit FINAL compact labels (background 0) — saves the caller
-            # a separate (T, P) convert pass on the fast path
-            out_ref[f] = jnp.where(fg, rank, 0.0).astype(jnp.int32)
+            lbl_ref[f] = lblo
+            out_ref[f] = labo
 
     return kernel
 
