@@ -61,15 +61,24 @@ def _min_pool_8(lbl: jnp.ndarray, sentinel: float) -> jnp.ndarray:
     return out
 
 
-@functools.partial(jax.jit, static_argnames=("max_iters", "use_pallas"))
+@functools.partial(
+    jax.jit, static_argnames=("max_iters", "use_pallas", "interpret")
+)
 def label_components(
-    fg: jnp.ndarray, max_iters: int = 256, use_pallas: bool | None = None
+    fg: jnp.ndarray,
+    max_iters: int = 256,
+    use_pallas: bool | None = None,
+    interpret: bool = False,
 ) -> Tuple[jnp.ndarray, jnp.ndarray]:
     """Label 8-connected foreground components of a (T, H, W) bool batch.
 
     Returns (labels, counts): labels is int32 (T, H, W) with background 0 and
     components numbered 1..N per frame in raster-first-occurrence order;
     counts is (T,) int32 per-frame component totals.
+
+    interpret=True runs every Pallas kernel in interpreter mode so the
+    full TPU fast/slow integration (fused kernel, flag decode, fallback
+    chain) is exercisable on CPU in CI (use with use_pallas=True).
 
     Two-phase propagation: XLA gathers are expensive on TPU (~10 ms per
     (T, P) take_along_axis at this size) while 3x3 min-pools are cheap, and
@@ -109,7 +118,7 @@ def label_components(
             # K sweeps per HBM round trip (VMEM-resident between sweeps)
             from .pallas.ccl_sweep import sweep_chunk
 
-            return sweep_chunk(lbl, fg, CHUNK, sentinel)
+            return sweep_chunk(lbl, fg, CHUNK, sentinel, interpret=interpret)
         for _ in range(CHUNK):
             pooled = _min_pool_8(lbl, sentinel)
             lbl = jnp.where(fg, jnp.minimum(lbl, pooled), sentinel)
@@ -121,6 +130,17 @@ def label_components(
             [lbl_flat, jnp.full((T, 1), jnp.float32(sentinel))], axis=1
         )
         return jnp.take_along_axis(ext, lbl_flat.astype(jnp.int32), axis=1)
+
+    def rank_gather(lbl, ranks):
+        """Exact compaction of a CONVERGED label image by one gather:
+        rank_map[p] = ranks[lbl[p]] (background sentinel hits the appended
+        zero column).  Expensive on TPU (~80 ms/672f) — last-resort path
+        for components the floods could not finish."""
+        ext = jnp.concatenate([ranks, jnp.zeros((T, 1), jnp.int32)], axis=1)
+        g = jnp.take_along_axis(
+            ext, lbl.astype(jnp.int32).reshape(T, P), axis=1
+        )
+        return g.reshape(T, H, W).astype(jnp.float32)
 
     def phase1_body(state):
         lbl, _, it = state
@@ -167,7 +187,9 @@ def label_components(
 
             lbl = jax.lax.cond(
                 changed,
-                lambda l: converge_frames(l, fg, max_iters, sentinel),
+                lambda l: converge_frames(
+                    l, fg, max_iters, sentinel, interpret=interpret
+                ),
                 lambda l: l,
                 lbl,
             )
@@ -199,7 +221,9 @@ def label_components(
         )
         from .scan import rowwise_mask_cumsum
 
-        lblk, labk = label_rank_fused(fg, RANK_SWEEPS, sentinel)
+        lblk, labk = label_rank_fused(
+            fg, RANK_SWEEPS, sentinel, interpret=interpret
+        )
         # The kernel certifies convergence in-VMEM (one extra sweep) and
         # encodes the per-frame flag as a negative value at lblk[:, 0, 0]
         # — reading T scalars here replaces a full pool-pass verify.
@@ -207,7 +231,9 @@ def label_components(
 
         def compact_from(lbl):
             """Compaction for a CONVERGED label image (fallback path)."""
-            rank_map = rank_seed_sweep(lbl, RANK_SWEEPS, sentinel)
+            rank_map = rank_seed_sweep(
+                lbl, RANK_SWEEPS, sentinel, interpret=interpret
+            )
             rchanged = verify_fixpoint(rank_map)
 
             def rank_body(state):
@@ -221,7 +247,9 @@ def label_components(
             )
             rank_map = jax.lax.cond(
                 rchanged,
-                lambda r: converge_frames(r, fg, max_iters, sentinel),
+                lambda r: converge_frames(
+                    r, fg, max_iters, sentinel, interpret=interpret
+                ),
                 lambda r: r,
                 rank_map,
             )
@@ -231,16 +259,10 @@ def label_components(
             )
 
             def gather_fallback(r):
-                # pathological (snake-like) components: one exact gather
+                # pathological (snake-like) components
                 is_root = jnp.logical_and(fg, lbl == idx.astype(jnp.float32))
                 ranks = rowwise_mask_cumsum(is_root.reshape(T, P))
-                ext = jnp.concatenate(
-                    [ranks, jnp.zeros((T, 1), jnp.int32)], axis=1
-                )
-                g = jnp.take_along_axis(
-                    ext, lbl.astype(jnp.int32).reshape(T, P), axis=1
-                )
-                return g.reshape(T, H, W).astype(jnp.float32)
+                return rank_gather(lbl, ranks)
 
             return jax.lax.cond(rchanged, gather_fallback, lambda r: r, rank_map)
 
@@ -313,7 +335,7 @@ def label_components(
             if use_pallas:
                 from .pallas.ccl_sweep import sweep_chunk
 
-                return sweep_chunk(r, fg, CHUNK, 256.0)
+                return sweep_chunk(r, fg, CHUNK, 256.0, interpret=interpret)
             for _ in range(CHUNK):
                 pooled = _min_pool_8(r, 256.0)
                 r = jnp.where(fg, jnp.minimum(r, pooled), s16)

@@ -52,9 +52,17 @@ from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
 # Frames per grid step: the fused body keeps ~8 (H, W) f32 temps live per
-# frame; 2 frames at crop sizes is ~6 MB against the ~16 MB scoped-VMEM
-# budget.
+# frame (~32 B/px/frame); 2 frames at typical crop sizes is ~6 MB against
+# the ~16 MB scoped-VMEM budget.  Large crops drop to 1 frame/step so the
+# kernels stay inside the budget up to the caller's admission gate
+# (ops/ccl.py local_kernel: H*W*4*8 <= 12 MiB, i.e. ~393k px ~= 12.6 MB
+# of per-frame temps at F=1).
 _FRAMES_PER_STEP = 2
+_F1_BYTES = 12 * (1 << 20)  # per-step temp budget that forces F=1
+
+
+def _frames_per_step(H: int, W: int) -> int:
+    return 1 if _FRAMES_PER_STEP * H * W * 4 * 8 > _F1_BYTES else _FRAMES_PER_STEP
 
 # Sweeps per flood stage.  Covers components of flood distance <= 12
 # — single blobs AND merged blob pairs (the realistic worst case), so the
@@ -224,7 +232,7 @@ def label_rank_fused(
     chunked machinery after decoding the marker.
     """
     N, H, W = fg.shape
-    F = _FRAMES_PER_STEP
+    F = _frames_per_step(H, W)
     pad = (-N) % F
     fgp = _pad_frames(fg.astype(jnp.bfloat16), pad, 0)
     lbl, rank = pl.pallas_call(
@@ -268,7 +276,7 @@ def rank_seed_sweep(
     final labels are bit-identical to the pure-XLA path.
     """
     N, H, W = lbl.shape
-    F = _FRAMES_PER_STEP
+    F = _frames_per_step(H, W)
     pad = (-N) % F
     lblp = _pad_frames(lbl.astype(jnp.float32), pad, sentinel)
     rank = pl.pallas_call(

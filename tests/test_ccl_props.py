@@ -333,3 +333,48 @@ def test_ccl_giant_serpentine_converges(rng):
     remap[order] = np.arange(1, n + 1)
     want = np.where(fg[0], remap[np.maximum(cc, 1) - 1], 0)
     np.testing.assert_array_equal(np.asarray(labels)[0], want)
+
+
+def test_label_components_pallas_integration_interpret(rng):
+    """The FULL TPU fast/slow integration — fused kernel, in-kernel
+    convergence flag decode, resumed flood, compact_from fallback chain,
+    per-frame empty skip — exercised on CPU via interpret mode and
+    compared against both the pure-XLA path and scipy.  (Without this,
+    the path that is the DEFAULT on hardware had no CI coverage.)"""
+    from scipy import ndimage
+
+    H, W = 64, 96
+    fg = np.zeros((6, H, W), bool)
+    # fast path: small blobs incl. a merged pair
+    for cy, cx, r in [(10, 10, 2), (12, 14, 2), (40, 70, 3)]:
+        fg[0, cy - r:cy + r + 1, cx - r:cx + r + 1] = True
+    # slow path: a snake longer than 2*RANK_SWEEPS
+    fg[1, 30, 4:92] = True
+    fg[1, 50, 10] = True
+    # empty frame (frame 2), dense speckle (frame 3), full block (frame 4)
+    fg[3] = rng.random((H, W)) > 0.6
+    fg[4, 8:40, 8:88] = True
+    fg[5, ::3, ::3] = True     # isolated-pixel grid (many components)
+    fgj = jnp.asarray(fg)
+
+    fast = label_components(fgj, use_pallas=True, interpret=True)
+    xla = label_components(fgj, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(xla[0]))
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(xla[1]))
+
+    lab, cnt = np.asarray(fast[0]), np.asarray(fast[1])
+    idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.int64)
+    for t in range(6):
+        cc, n = ndimage.label(fg[t], structure=np.ones((3, 3)))
+        assert int(cnt[t]) == n
+        if n:
+            mins = np.asarray(
+                ndimage.minimum(idx, cc, index=np.arange(1, n + 1))
+            )
+            order = np.argsort(mins)
+            remap = np.empty(n, np.int32)
+            remap[order] = np.arange(1, n + 1)
+            want = np.where(fg[t], remap[np.maximum(cc, 1) - 1], 0)
+        else:
+            want = np.zeros((H, W), np.int32)
+        np.testing.assert_array_equal(lab[t], want)
