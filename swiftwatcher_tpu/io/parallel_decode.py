@@ -31,9 +31,26 @@ from typing import Optional
 import numpy as np
 
 
-def probe_seek_accuracy(path, n_probe: int = 12, seek_at: int = 8) -> bool:
+def probe_seek_accuracy(
+    path, total_frames: int | None = None, n_probe: int = 12, seek_at: int = 8
+) -> bool:
     """True when set(CAP_PROP_POS_FRAMES) reproduces sequential decode
-    byte-for-byte on this file (keyframe-accurate containers)."""
+    byte-for-byte on this file (keyframe-accurate containers).
+
+    Two probe families, because a single head-of-file check passes on
+    containers whose seek is only accurate near keyframe 0 (open GOP,
+    irregular keyframe spacing deep in the file):
+
+    1. HEAD: decode the first n_probe frames sequentially, then re-decode
+       two of them via seek and compare bytes (seek-vs-sequential truth).
+    2. DEEP (when total_frames is known): at 50% and 90% of the file, read
+       the same target frame via two different seek origins (directly, and
+       from several frames earlier decoding forward) — frame-accurate
+       containers converge on identical bytes regardless of origin, while
+       imprecise ones land on different content.  Sequentially decoding to
+       a deep frame for ground truth would cost a full prefix decode; the
+       origin-consistency check catches the same failure class in O(GOP).
+    """
     import cv2
 
     cap = cv2.VideoCapture(str(path))
@@ -47,11 +64,36 @@ def probe_seek_accuracy(path, n_probe: int = 12, seek_at: int = 8) -> bool:
     cap.release()
     if seek_at >= len(seq) or seq[seek_at] is None or seq[0] is None:
         return False
+
+    def _read_at(cap, pos):
+        cap.set(cv2.CAP_PROP_POS_FRAMES, pos)
+        ok, frame = cap.read()
+        return frame if ok else None
+
     cap = cv2.VideoCapture(str(path))
-    cap.set(cv2.CAP_PROP_POS_FRAMES, seek_at)
-    ok, via_seek = cap.read()
-    cap.release()
-    return bool(ok) and np.array_equal(seq[seek_at], via_seek)
+    try:
+        for probe_pos in {seek_at, max(seek_at // 2, 1)}:
+            via_seek = _read_at(cap, probe_pos)
+            if via_seek is None or not np.array_equal(seq[probe_pos], via_seek):
+                return False
+        if total_frames and total_frames > 4 * n_probe:
+            back = 7
+            for frac in (0.5, 0.9):
+                tgt = min(int(total_frames * frac), total_frames - 1)
+                direct = _read_at(cap, tgt)
+                if direct is None:
+                    return False
+                cap.set(cv2.CAP_PROP_POS_FRAMES, tgt - back)
+                stepped = None
+                for _ in range(back + 1):
+                    ok, stepped = cap.read()
+                    if not ok:
+                        return False
+                if not np.array_equal(direct, stepped):
+                    return False
+        return True
+    finally:
+        cap.release()
 
 
 class ParallelDecoder:
@@ -117,10 +159,16 @@ class ParallelDecoder:
                 if pos != lo:
                     cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
                 out = []
+                failed = False
                 for fn in range(lo, hi):
                     ok, frame = cap.read()
+                    failed = failed or not ok
                     out.append((fn, frame if ok else None))
-                pos = hi
+                # A failed read does NOT advance ffmpeg's cursor: assuming
+                # pos == hi would make the next contiguous chunk skip its
+                # seek and publish every later frame shifted by the number
+                # of failures — silent misalignment.  Force a re-seek.
+                pos = -1 if failed else hi
                 with self._lock:
                     self._frames.update(out)
                     self._have.notify_all()

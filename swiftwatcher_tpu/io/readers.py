@@ -305,7 +305,7 @@ class VideoFileSource(FrameSource):
             if want_parallel and container_frames > 0:
                 from .parallel_decode import ParallelDecoder, probe_seek_accuracy
 
-                if probe_seek_accuracy(filepath):
+                if probe_seek_accuracy(filepath, container_frames):
                     self._cap.release()
                     self._cap = None
                     self._pdec = ParallelDecoder(

@@ -209,11 +209,14 @@ class WirePacket6:
         )
 
 
-def _d6_mode_costs(g: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, int]:
+def _d6_mode_costs(
+    g: np.ndarray,
+) -> Tuple[np.ndarray, np.ndarray, np.ndarray, int, int]:
     """Residual streams for both predictors + their escape-byte costs.
 
-    g: (N, P) uint8.  Returns (r_mean, r_prev, cost_mean, cost_prev);
-    residuals are mod-256 uint8 (decode adds the predictor back with wrap)."""
+    g: (N, P) uint8.  Returns (bg_mean, r_mean, r_prev, cost_mean,
+    cost_prev); residuals are mod-256 uint8 (decode adds the predictor
+    back with wrap)."""
     N = g.shape[0]
     s = g.sum(0, dtype=np.int64)
     bg_mean = ((s + N // 2) // N).astype(np.uint8)
@@ -229,7 +232,7 @@ def _d6_mode_costs(g: np.ndarray) -> Tuple[np.ndarray, np.ndarray, int, int]:
         n3 = int(np.count_nonzero((r + np.uint8(7)) > 14))
         return n1 + 10 * n3
 
-    return r_mean, r_prev, _cost(r_mean), _cost(r_prev)
+    return bg_mean, r_mean, r_prev, _cost(r_mean), _cost(r_prev)
 
 
 def encode_delta6(
@@ -259,13 +262,12 @@ def encode_delta6(
             esc_val=val3,
             shape=(N, H, W),
         )
-    r_mean, r_prev, n_mean, n_prev = _d6_mode_costs(g)
+    bg_mean, r_mean, r_prev, n_mean, n_prev = _d6_mode_costs(g)
     if mode is None:
         mode = 0 if n_mean <= n_prev else 1
     if mode == 0:
         r = r_mean
-        s = g.sum(0, dtype=np.int64)
-        bg = ((s + N // 2) // N).astype(np.uint8).reshape(H, W)
+        bg = bg_mean.reshape(H, W)
     else:
         r = r_prev
         bg = np.ascontiguousarray(gray[0])

@@ -349,26 +349,10 @@ def label_components(
     rank_map, rchanged = jax.lax.cond(
         jnp.max(counts) <= 255, small_flood, general_flood, None
     )
-    if local_kernel:
-        from .pallas.ccl_local import converge_frames
-
-        rank_map = jax.lax.cond(
-            rchanged,
-            lambda r: converge_frames(r, fg, max_iters, sentinel),
-            lambda r: r,
-            rank_map,
-        )
-        rchanged = jax.lax.cond(
-            rchanged, verify_fixpoint, lambda r: jnp.asarray(False), rank_map
-        )
-
-    def gather_fallback(r):
-        # pathological (snake-like) components: one gather resolves exactly
-        ext = jnp.concatenate([ranks, jnp.zeros((T, 1), jnp.int32)], axis=1)
-        g = jnp.take_along_axis(ext, lbl.astype(jnp.int32).reshape(T, P), axis=1)
-        return g.reshape(T, H, W).astype(jnp.float32)
-
-    rank_map = jax.lax.cond(rchanged, gather_fallback, lambda r: r, rank_map)
+    # (local_kernel is always False here — that path returned above.)
+    rank_map = jax.lax.cond(
+        rchanged, lambda r: rank_gather(lbl, ranks), lambda r: r, rank_map
+    )
     labels = jnp.where(fg, rank_map.astype(jnp.int32), 0)
     return labels, counts
 

@@ -39,6 +39,89 @@ def mp4(tmp_path_factory):
 def test_probe_seek_accuracy(mp4):
     p, _ = mp4
     assert probe_seek_accuracy(p)
+    assert probe_seek_accuracy(p, 63)   # with the deep origin-consistency leg
+
+
+class _DelegatingCap:
+    """cv2.VideoCapture wrapper for fault-injection tests."""
+
+    def __init__(self, path):
+        self._c = _REAL_CAPTURE(str(path))
+
+    def isOpened(self):
+        return self._c.isOpened()
+
+    def get(self, prop):
+        return self._c.get(prop)
+
+    def set(self, prop, val):
+        return self._c.set(prop, val)
+
+    def read(self):
+        return self._c.read()
+
+    def release(self):
+        return self._c.release()
+
+
+_REAL_CAPTURE = cv2.VideoCapture
+
+
+def test_probe_rejects_origin_dependent_seek(mp4, monkeypatch):
+    """A container whose DEEP seeks land origin-dependently (open GOP /
+    irregular keyframes) must fail the probe even though head-of-file
+    seeks are exact — the single-position probe used to pass these."""
+    p, _ = mp4
+
+    class SloppyDeepSeek(_DelegatingCap):
+        def set(self, prop, val):
+            if prop == cv2.CAP_PROP_POS_FRAMES and val > 20:
+                val = val - (val % 2)     # deep seeks snap to even frames
+            return self._c.set(prop, val)
+
+    monkeypatch.setattr(cv2, "VideoCapture", SloppyDeepSeek)
+    # head-only legs still pass (seeks <= 20 are exact) ...
+    assert probe_seek_accuracy(p)
+    # ... but the deep origin-consistency leg catches the snap
+    assert not probe_seek_accuracy(p, 63)
+
+
+def test_worker_realigns_after_failed_read(mp4, monkeypatch):
+    """A failed cap.read() does not advance ffmpeg's cursor; the worker
+    must re-seek before its next chunk or every later frame it publishes
+    is silently shifted by the number of failures."""
+    p, _ = mp4
+    cap = _REAL_CAPTURE(str(p))
+    seq = []
+    while True:
+        ok, f = cap.read()
+        if not ok:
+            break
+        seq.append(f)
+    cap.release()
+
+    state = {"failed": False}
+
+    class OneFailNoAdvance(_DelegatingCap):
+        def read(self):
+            pos = int(self._c.get(cv2.CAP_PROP_POS_FRAMES))
+            if pos == 20 and not state["failed"]:
+                state["failed"] = True
+                return False, None        # cursor stays at 20
+            return self._c.read()
+
+    monkeypatch.setattr(cv2, "VideoCapture", OneFailNoAdvance)
+    # one worker => chunks are claimed contiguously, so without the
+    # re-seek the next chunk would skip its cap.set() and publish
+    # frame 23's bytes as frame 24, 24 as 25, ...
+    dec = ParallelDecoder(p, len(seq), n_workers=1, chunk=8)
+    try:
+        assert dec.get(20) is None        # the injected failure surfaces
+        for i in list(range(16, 20)) + list(range(24, len(seq))):
+            got = dec.get(i)
+            assert got is not None and np.array_equal(got, seq[i]), f"frame {i}"
+    finally:
+        dec.close()
 
 
 def test_decoder_matches_sequential(mp4):
