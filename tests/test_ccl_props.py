@@ -335,7 +335,77 @@ def test_ccl_giant_serpentine_converges(rng):
     np.testing.assert_array_equal(np.asarray(labels)[0], want)
 
 
-def test_label_components_pallas_integration_interpret(rng):
+def _scipy_compact_labels(fg_t):
+    """Reference labels: scipy 8-conn components renumbered in raster
+    first-occurrence order (the pipeline's label convention)."""
+    from scipy import ndimage
+
+    H, W = fg_t.shape
+    cc, n = ndimage.label(fg_t, structure=np.ones((3, 3)))
+    if not n:
+        return np.zeros((H, W), np.int32), 0
+    idx = (np.arange(H)[:, None] * W + np.arange(W)[None, :]).astype(np.int64)
+    mins = np.asarray(ndimage.minimum(idx, cc, index=np.arange(1, n + 1)))
+    remap = np.empty(n, np.int32)
+    remap[np.argsort(mins)] = np.arange(1, n + 1)
+    return np.where(fg_t, remap[np.maximum(cc, 1) - 1], 0).astype(np.int32), n
+
+
+def _fuzz_scene(rng, H, W):
+    """Structured random scene: blobs + line segments + a ring + speckle,
+    the component shapes that exercise every CCL path (fused fast, deep
+    flood, gather fallback, capacity gates)."""
+    fg = np.zeros((H, W), bool)
+    for _ in range(int(rng.integers(0, 6))):
+        cy, cx = int(rng.integers(2, H - 2)), int(rng.integers(2, W - 2))
+        r = int(rng.integers(1, 4))
+        fg[max(cy - r, 0):cy + r + 1, max(cx - r, 0):cx + r + 1] = True
+    for _ in range(int(rng.integers(0, 3))):
+        y = int(rng.integers(0, H))
+        a, b = sorted(rng.integers(0, W, 2).tolist())
+        fg[y, a:b + 1] = True
+    if rng.random() < 0.5:  # hollow ring: a component whose flood wraps
+        cy, cx, r = H // 2, W // 2, min(H, W) // 3
+        yy, xx = np.ogrid[:H, :W]
+        d2 = (yy - cy) ** 2 + (xx - cx) ** 2
+        fg |= (d2 >= (r - 1) ** 2) & (d2 <= (r + 1) ** 2)
+    fg |= rng.random((H, W)) > float(rng.uniform(0.9, 0.995))
+    return fg
+
+
+@pytest.mark.parametrize("shape", [(5, 56, 88), (4, 47, 121)])
+def test_ccl_props_fuzz_fused_vs_scipy(rng, shape):
+    """Randomized scenes through the DEFAULT on-hardware path (fused Pallas
+    kernels, interpret mode) — labels vs scipy, XLA-path equality, and
+    region-table moments vs direct numpy accumulation."""
+    T, H, W = shape
+    fg = np.stack([_fuzz_scene(rng, H, W) for _ in range(T)])
+    fgj = jnp.asarray(fg)
+
+    fast = label_components(fgj, use_pallas=True, interpret=True)
+    xla = label_components(fgj, use_pallas=False)
+    np.testing.assert_array_equal(np.asarray(fast[0]), np.asarray(xla[0]))
+    np.testing.assert_array_equal(np.asarray(fast[1]), np.asarray(xla[1]))
+
+    lab, cnt = np.asarray(fast[0]), np.asarray(fast[1])
+    for t in range(T):
+        want, n = _scipy_compact_labels(fg[t])
+        assert int(cnt[t]) == n
+        np.testing.assert_array_equal(lab[t], want)
+
+    wrapped = np.asarray(wrap_labels_uint8(fast[0]))
+    table = region_tables(wrapped)
+    area = np.asarray(table.area)
+    s_y, s_x = np.asarray(table.sum_y), np.asarray(table.sum_x)
+    valid = np.asarray(table.valid)
+    for t in range(T):
+        for v in range(1, 256):
+            m = wrapped[t] == v
+            assert valid[t, v] == m.any()
+            if m.any():
+                assert area[t, v] == m.sum()
+                ys, xs = np.nonzero(m)
+                assert s_y[t, v] == ys.sum() and s_x[t, v] == xs.sum()
     """The FULL TPU fast/slow integration — fused kernel, in-kernel
     convergence flag decode, resumed flood, compact_from fallback chain,
     per-frame empty skip — exercised on CPU via interpret mode and
