@@ -170,3 +170,40 @@ def test_reference_code_vs_rebuild_classify(ref, monkeypatch):
     assert result.total_predicted == ref_pred
     assert result.total_rejected == ref_rej
     assert sorted(ev.frame_number for ev in result.events) == ref_fns
+
+
+def test_h5_cache_interops_with_reference_reader(ref, tmp_path):
+    """tools/make_h5_cache.py output is readable by the reference's own
+    HDF5Reader (io_video.py:85-131) — a reference user's cached-experiment
+    workflow keeps working — and both readers see identical pixels."""
+    import cv2
+    import sys
+
+    sys.path.insert(0, "/root/repo/tools")
+    from make_h5_cache import make_cache
+
+    from swiftwatcher_tpu.io.readers import open_source
+
+    video = make_video(seed=2, n_frames=12)
+    h, w = video.frames[0].shape[:2]
+    avi = tmp_path / "clip.avi"
+    wr = cv2.VideoWriter(
+        str(avi), cv2.VideoWriter_fourcc(*"MJPG"), video.fps, (w, h)
+    )
+    assert wr.isOpened()
+    for f in video.frames:
+        wr.write(f)
+    wr.release()
+
+    h5 = tmp_path / "clip.h5"
+    n = make_cache(avi, h5, status=False)
+    assert n == len(video.frames)
+
+    theirs = ref.io_video.HDF5Reader(h5)
+    ours = open_source(h5)
+    assert theirs.total_frames == ours.total_frames == len(video.frames)
+    assert float(theirs.fps) == float(ours.fps) == video.fps
+    for i in range(len(video.frames)):
+        a = theirs.read_frame(i, increment=False)
+        b = ours.read_frame(i, increment=False)
+        np.testing.assert_array_equal(a, b)
