@@ -172,6 +172,29 @@ def test_reference_code_vs_rebuild_classify(ref, monkeypatch):
     assert sorted(ev.frame_number for ev in result.events) == ref_fns
 
 
+def test_generate_regions_matches_reference_pixels(ref):
+    """crop_region and ROI mask, pixel-for-pixel vs the reference's real
+    generate_regions (image_filtering.py:20-122 — medianBlur x2, Otsu,
+    Canny, 20-up dilation, second Otsu), across several scenes."""
+    from swiftwatcher_tpu.geometry import (
+        crop_region_from_corners,
+        roi_crop_region_from_corners,
+    )
+    from swiftwatcher_tpu.ops.roi_mask import generate_roi_mask
+
+    for seed in (0, 1, 2, 5):
+        video = make_video(seed=seed, n_frames=3)
+        ff = video.frames[0]
+        crop_ref, mask_ref, _resize = ref.image_filtering.generate_regions(
+            ff, video.corners
+        )
+        crop = crop_region_from_corners(video.corners, DEFAULT_CONFIG)
+        roi = roi_crop_region_from_corners(video.corners, DEFAULT_CONFIG)
+        mask = np.asarray(generate_roi_mask(ff, roi, crop, DEFAULT_CONFIG))
+        assert [tuple(p) for p in crop_ref] == [tuple(p) for p in crop]
+        np.testing.assert_array_equal(mask, np.asarray(mask_ref))
+
+
 def test_h5_cache_interops_with_reference_reader(ref, tmp_path):
     """tools/make_h5_cache.py output is readable by the reference's own
     HDF5Reader (io_video.py:85-131) — a reference user's cached-experiment
