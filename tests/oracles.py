@@ -24,10 +24,14 @@ def ialm_rpca_f64(X, lmbda=0.01, tol=0.001, max_iter=100):
     rho = 1.5
     itr = 0
     while True:
-        Eraw = X - A + Y / mu
+        # op-for-op the reference's arithmetic ((1/mu)*Y, U @ diag @ V) so
+        # outputs are BITWISE equal to image_filtering.py:269-297
+        # (tests/test_reference_differential.py asserts it)
+        Eraw = X - A + (1 / mu) * Y
         E = np.maximum(Eraw - lmbda / mu, 0) + np.minimum(Eraw + lmbda / mu, 0)
-        U, S, V = np.linalg.svd(X - E + Y / mu, full_matrices=False)
-        A = (U * (S - 1.0 / mu)) @ V  # all components kept (svp quirk)
+        U, S, V = np.linalg.svd(X - E + (1 / mu) * Y, full_matrices=False)
+        # all components kept (svp length-bug quirk)
+        A = np.dot(np.dot(U, np.diag(S - 1 / mu)), V)
         Z = X - A - E
         Y = Y + mu * Z
         mu = min(mu * rho, mu * 1e7)

@@ -172,6 +172,134 @@ def test_reference_code_vs_rebuild_classify(ref, monkeypatch):
     assert sorted(ev.frame_number for ev in result.events) == ref_fns
 
 
+def test_tracker_fuzz_vs_reference(ref):
+    """Randomized centroid streams through the reference's real
+    SegmentTracker (cost matrix + scipy Hungarian + history linking +
+    ROI event test) vs the rebuild's host tracker: identical events.
+
+    Streams that crash the reference (None-status indexing,
+    segment_tracking.py:139-140 — documented deviation 6 in PARITY.md)
+    are skipped; everything the reference survives must match."""
+    from swiftwatcher_tpu.pipeline.tracking import SegmentTracker as OurTracker
+
+    class _RP:  # minimal regionprops bag: Segment copies public attrs
+        def __init__(self, cy, cx):
+            self.centroid = (cy, cx)
+
+    rng = np.random.default_rng(11)
+    H, W = 40, 60
+    roi = np.zeros((H, W), np.uint8)
+    roi[25:36, 10:50] = 255
+
+    compared = 0
+    for _ in range(25):
+        # persistent walkers (sub-knee steps) + spawns/deaths + teleports
+        walkers = []
+        frames = []
+        for t in range(30):
+            if rng.random() < 0.45 and len(walkers) < 4:
+                walkers.append(
+                    [float(rng.uniform(2, H - 2)), float(rng.uniform(2, W - 2))]
+                )
+            for wpt in walkers:
+                step = rng.uniform(2, 24) if rng.random() < 0.9 else 40.0
+                ang = rng.uniform(0, 2 * np.pi)
+                wpt[0] = float(np.clip(wpt[0] + step * np.sin(ang), 0, H - 1))
+                wpt[1] = float(np.clip(wpt[1] + step * np.cos(ang), 0, W - 1))
+            if walkers and rng.random() < 0.3:
+                walkers.pop(int(rng.integers(len(walkers))))
+            frames.append([(w0, w1) for w0, w1 in walkers])
+
+        theirs = ref.segment_tracking.SegmentTracker(roi)
+        theirs.cached_frame = ref.data_structures.Frame()
+        ok = True
+        try:
+            for t, cents in enumerate(frames):
+                fr = ref.data_structures.Frame(
+                    frame=None, frame_number=t, timestamp=None
+                )
+                fr.frame_number = t
+                fr.null = False
+                fr.segments = [
+                    ref.data_structures.Segment(_RP(cy, cx), t, None, None)
+                    for cy, cx in cents
+                ]
+                theirs.set_current_frame(fr)
+                cm = theirs.formulate_cost_matrix()
+                theirs.store_assignments(
+                    ref.segment_tracking.apply_hungarian_algorithm(cm)
+                )
+                theirs.link_matching_segments()
+                theirs.check_for_events()
+                theirs.cache_current_frame()
+        except (TypeError, IndexError):
+            ok = False  # reference crash path (deviation 6)
+        if not ok:
+            continue
+        compared += 1
+
+        ours = OurTracker(roi, DEFAULT_CONFIG)
+        for t, cents in enumerate(frames):
+            ours.step(cents, t, None)
+
+        ref_events = sorted(
+            (
+                path[-1].parent_frame_number,
+                path[0].centroid,
+                path[-1].centroid,
+            )
+            for path in theirs.detected_events
+        )
+        our_events = sorted(
+            (ev.frame_number, ev.first_centroid, ev.last_centroid)
+            for ev in ours.events
+        )
+        assert our_events == ref_events
+    assert compared >= 15  # the crash path must not dominate the sample
+
+
+def test_ialm_oracle_bitexact_vs_reference_solver(ref):
+    """oracles.ialm_rpca_f64 vs the reference's real
+    inexact_augmented_lagrange_multiplier (image_filtering.py:256-301):
+    same numpy ops in the same order must give BITWISE-equal A and E —
+    including the svp length-bug and 'norm_two'-is-Frobenius quirks —
+    and the uint8 motion windows from rpca() must match the oracle's."""
+    from oracles import ialm_rpca_f64
+
+    rng = np.random.default_rng(7)
+    # low-rank + sparse f64 matrix, and a realistic uint8 gray window
+    n, T = 300, 21
+    base = np.outer(rng.normal(size=n), np.ones(T)) * 120 + 128
+    sparse = (rng.random((n, T)) < 0.02) * rng.uniform(-80, 80, (n, T))
+    cases = [
+        np.clip(base + sparse + rng.normal(0, 2, (n, T)), 0, 255).round(),
+        rng.integers(0, 255, size=(64, T)).astype(np.float64),
+    ]
+    for X in cases:
+        A_ref, E_ref = ref.image_filtering.inexact_augmented_lagrange_multiplier(
+            X.copy()
+        )
+        A_o, E_o, _ = ialm_rpca_f64(X)
+        np.testing.assert_array_equal(A_o, A_ref)
+        np.testing.assert_array_equal(E_o, E_ref)
+
+    # whole-window path: rpca() reshapes, negates, clips to uint8
+    frames = [
+        np.clip(
+            rng.normal(128, 8, (12, 25)) - 90 * (rng.random((12, 25)) < 0.01),
+            0,
+            255,
+        ).astype(np.uint8)
+        for _ in range(T)
+    ]
+    motion_ref = ref.image_filtering.rpca([f.astype(np.float64) for f in frames])
+    X = np.stack(frames).reshape(T, -1).T.astype(np.float64)
+    _, E, _ = ialm_rpca_f64(X)
+    motion_o = np.clip(-E, 0, 255).astype(np.uint8).T.reshape(T, 12, 25)
+    for t in range(T):
+        np.testing.assert_array_equal(motion_o[t], motion_ref[t])
+
+
 def test_generate_regions_matches_reference_pixels(ref):
     """crop_region and ROI mask, pixel-for-pixel vs the reference's real
     generate_regions (image_filtering.py:20-122 — medianBlur x2, Otsu,
