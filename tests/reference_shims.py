@@ -223,5 +223,6 @@ def import_reference():
     ns.event_classification = importlib.import_module(
         "swiftwatcher.event_classification"
     )
+    ns.io_data = importlib.import_module("swiftwatcher.io_data")
     ns.main = importlib.import_module("swiftwatcher.__main__")
     return ns

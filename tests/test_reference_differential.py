@@ -323,6 +323,32 @@ def test_generate_regions_matches_reference_pixels(ref):
         np.testing.assert_array_equal(mask, np.asarray(mask_ref))
 
 
+def test_export_csvs_byte_equal_vs_reference(ref, tmp_path, monkeypatch):
+    """io/export.py writes BYTE-identical CSVs to the reference's
+    io_data.export_results given the same labeled-events dataframe — a
+    reference user's downstream spreadsheets/scripts keep parsing."""
+    from swiftwatcher_tpu.io.export import export_results as ours
+
+    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1, n_vanishing=1)
+    df_labels = _run_reference(ref, video, classify=False, monkeypatch=monkeypatch)
+    assert df_labels is not None
+
+    dir_ref = tmp_path / "ref"
+    dir_our = tmp_path / "our"
+    dir_ref.mkdir()
+    total_ref = ref.io_data.export_results(
+        dir_ref, df_labels.copy(deep=True), video.fps, 0, len(video.frames)
+    )
+    total_our = ours(dir_our, df_labels.copy(deep=True), video.fps, 0, len(video.frames))
+    assert total_ref == total_our
+
+    names_ref = sorted(p.name for p in dir_ref.glob("*.csv"))
+    names_our = sorted(p.name for p in dir_our.glob("*.csv"))
+    assert names_ref == names_our and len(names_ref) == 6
+    for name in names_ref:
+        assert (dir_our / name).read_bytes() == (dir_ref / name).read_bytes(), name
+
+
 def test_h5_cache_interops_with_reference_reader(ref, tmp_path):
     """tools/make_h5_cache.py output is readable by the reference's own
     HDF5Reader (io_video.py:85-131) — a reference user's cached-experiment
