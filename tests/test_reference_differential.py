@@ -323,6 +323,69 @@ def test_generate_regions_matches_reference_pixels(ref):
         np.testing.assert_array_equal(mask, np.asarray(mask_ref))
 
 
+def test_event_classification_edges_vs_reference(ref):
+    """Crafted angle sets through the reference's real classify_events vs
+    pipeline/events.py: exact 15-degree multiples (the false-angle filter),
+    float near-misses (45 deg is NOT exact in IEEE atan2/degrees), pd.cut
+    band edges at mode+/-30, the hist[i_max-1] wrap, and single-event and
+    all-filtered sets."""
+    import pandas as pd
+
+    from swiftwatcher_tpu.pipeline.events import classify_events as ours_classify
+    from swiftwatcher_tpu.pipeline.tracking import Event
+
+    class _Seg:
+        def __init__(self, cy, cx, fn, ts):
+            self.centroid = (cy, cx)
+            self.parent_frame_number = fn
+            self.parent_timestamp = ts
+
+    def make_pair(angle_deg, fn):
+        """first/last centroids whose first->last angle is
+        degrees(atan2(sin a, cos a)) — the same float both sides."""
+        rad = np.deg2rad(angle_deg)
+        dy, dx = float(np.sin(rad)) * 20, float(np.cos(rad)) * 20
+        first, last = (dy, -dx), (0.0, 0.0)
+        ts = pd.Timestamp("00:00:00") + pd.Timedelta(fn / 30.0, "s")
+        return first, last, fn, ts
+
+    rng = np.random.default_rng(3)
+    angle_sets = [
+        [90.0, 0.0, 180.0, -90.0],                    # all exact multiples
+        [45.0, -75.3, -88.0, -92.0, -119.9],          # 45 is a near-miss
+        [-90.0 + d for d in (-30.5, -30.0, -29.9, 29.9, 30.0, 30.5)],
+        [-60.1],                                       # single event
+        list(rng.uniform(-180, 180, 40)),              # bulk random
+        [-170.0 + 0.1 * i for i in range(10)],         # modal bin at edge
+    ]
+    for angles in angle_sets:
+        pairs = [make_pair(a, 10 + i) for i, a in enumerate(angles)]
+
+        ref_events = [
+            [_Seg(*first, fn, ts), _Seg(*last, fn, ts)]
+            for first, last, fn, ts in pairs
+        ]
+        df_ref = ref.event_classification.convert_events_to_dataframe(
+            ref_events, ["parent_frame_number", "parent_timestamp", "centroid"]
+        )
+        df_ref = ref.event_classification.classify_events(df_ref)
+
+        ours = ours_classify(
+            [
+                Event(
+                    first_centroid=first,
+                    last_centroid=last,
+                    frame_number=fn,
+                    timestamp=ts,
+                )
+                for first, last, fn, ts in pairs
+            ]
+        )
+        assert len(ours) == len(df_ref), angles
+        assert ours["angle"].tolist() == df_ref["angle"].tolist(), angles
+        assert ours["label"].tolist() == df_ref["label"].tolist(), angles
+
+
 def test_export_csvs_byte_equal_vs_reference(ref, tmp_path, monkeypatch):
     """io/export.py writes BYTE-identical CSVs to the reference's
     io_data.export_results given the same labeled-events dataframe — a
