@@ -43,6 +43,28 @@ def test_fused_matches_native_oracle(rng):
         assert (diff == 0).mean() > 0.99
 
 
+def test_fused_chunk_early_out_boundaries(rng):
+    """The per-chunk skip (all-subthreshold extended slice => provably zero
+    output) must be exact at its edges: pixels AT the threshold, an
+    all-zero frame, and a lone bright pixel on every side of a 36-row
+    chunk boundary (it must keep the NEIGHBORING chunk active through the
+    bilateral+opening halo, not just its own)."""
+    H, W = 144, 64  # four 36-row chunks
+    cases = [
+        np.zeros((1, H, W), np.uint8),                       # fully empty
+        np.full((1, H, W), 15, np.uint8),                    # == thresh: all killed
+        np.full((1, H, W), 16, np.uint8),                    # just above: all active
+    ]
+    for r in (0, 33, 34, 35, 36, 37, 38, 71, 72, 107, 108, 143):
+        m = (rng.random((1, H, W)) * 10).astype(np.uint8)    # sub-threshold noise
+        m[0, r, 20] = 120
+        cases.append(m)
+    for m in cases:
+        xla = np.asarray(motion_postfilter(m, DEFAULT_CONFIG))
+        fused = np.asarray(fused_motion_filter(m, DEFAULT_CONFIG, interpret=True))
+        np.testing.assert_array_equal(fused, xla)
+
+
 def test_rowwise_mask_cumsum(rng):
     """Two-level scan == flat cumsum for awkward lengths and dense masks."""
     import jax.numpy as jnp
