@@ -146,12 +146,17 @@ def test_reference_code_vs_rebuild_counts(ref, monkeypatch):
     )
 
 
-def test_reference_code_vs_rebuild_classify(ref, monkeypatch):
+@pytest.mark.parametrize("kw", [
+    dict(seed=0, n_frames=63, n_entering=2, n_crossing=1, n_vanishing=1),
+    dict(seed=4, n_frames=50, n_entering=1, n_crossing=2, n_vanishing=1,
+         brightness_drift=0.35),
+])
+def test_reference_code_vs_rebuild_classify(ref, monkeypatch, kw):
     """--classify differential: reference CNN (eval mode) gating its real
     tracker vs the rebuild's batched device classifier path."""
     from swiftwatcher_tpu.models.classifier import SqueezeNetSegmentFilter
 
-    video = make_video(seed=0, n_frames=63, n_entering=2, n_crossing=1, n_vanishing=1)
+    video = make_video(**kw)
     df_labels = _run_reference(ref, video, classify=True, monkeypatch=monkeypatch)
 
     result = run_video(
