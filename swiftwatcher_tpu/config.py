@@ -184,6 +184,14 @@ class PipelineConfig:
     # the synthetic bench); 8 skips empty-sky stretches a chunk at a time
     # (−30% scan time on all-empty footage; output identical — tested).
     track_scan_chunk: int = 1
+    # Enumeration LAP threshold for the device tracker: frames whose live
+    # tracks AND segments both fit in the first N slots skip the sequential
+    # JV Dijkstra and score all partial matchings of an N x N block in one
+    # vectorized pass (exact decomposition of the padded assignment — see
+    # tracking_jax._prev_match_enum).  Busier frames fall back to the full
+    # JV solve behind a lax.cond.  0 disables; capped at 6 (pattern table
+    # growth).  Realistic swift footage holds <=3 simultaneous segments.
+    track_enum_lap: int = 0
 
 
 DEFAULT_CONFIG = PipelineConfig()

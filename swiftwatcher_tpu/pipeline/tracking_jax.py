@@ -26,6 +26,7 @@ from typing import NamedTuple, Tuple
 
 import jax
 import jax.numpy as jnp
+import numpy as np
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from ..ops.hungarian import solve_lap
@@ -75,8 +76,9 @@ def empty_events(cap: int) -> EventBuffer:
     )
 
 
-def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
-    K = state.cy.shape[0]
+def _match_block(state: TrackState, cy, cx, cfg: PipelineConfig):
+    """(K, K) f32 match costs 0.5*d_cost + 0.5*a_cost for every (prev slot,
+    curr slot) pair, validity-agnostic (callers mask)."""
     clamp = jnp.float32(cfg.cost_exp_clamp)
 
     d = jnp.sqrt(
@@ -99,7 +101,13 @@ def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
         jnp.exp2(jnp.minimum(diff - cfg.angle_cost_knee, clamp)),
         1.0,
     )
-    match = 0.5 * d_cost + 0.5 * a_cost
+    return (0.5 * d_cost + 0.5 * a_cost).astype(jnp.float32)
+
+
+def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig, match=None):
+    K = state.cy.shape[0]
+    if match is None:
+        match = _match_block(state, cy, cx, cfg)
 
     pv, cv = state.valid, valid
     rv = jnp.concatenate([pv, cv])                      # row validity (2K,)
@@ -117,25 +125,101 @@ def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
     return cost
 
 
-def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
-    state, events = carry
-    cy, cx, valid, fn, active = inputs
-    K = state.cy.shape[0]
+@functools.lru_cache(maxsize=None)
+def _pattern_table(n: int) -> np.ndarray:
+    """All partial matchings of n rows onto n columns, as (num_patterns, n)
+    int32 rows of matched-column-or−1.  Sizes: n=3 → 34, 4 → 209, 5 → 1546,
+    6 → 13327; larger n is rejected (the table would dwarf the LAP it
+    replaces)."""
+    if n > 6:
+        raise ValueError(f"enum LAP pattern table capped at n=6 (got {n})")
+    pats: list[list[int]] = []
 
+    def rec(row: int, used: int, cur: list[int]) -> None:
+        if row == n:
+            pats.append(cur)
+            return
+        rec(row + 1, used, cur + [-1])
+        for c in range(n):
+            if not (used >> c) & 1:
+                rec(row + 1, used | (1 << c), cur + [c])
+
+    rec(0, 0, [])
+    return np.asarray(pats, np.int32)
+
+
+def _prev_match_lap(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
+    """(K,) int32: current-slot index matched to each previous slot (−1 if
+    unmatched), via the full padded JV solve."""
+    K = state.cy.shape[0]
     cost = _cost_matrix(state, cy, cx, valid, cfg)
     # padding rows/cols sit on a free diagonal: pre-assign them so the LAP's
     # augment cost scales with the REAL segment count, not the capacity
     # (exact — see solve_lap's docstring)
     col4row = solve_lap(cost, skip=~jnp.concatenate([state.valid, valid]))
-
     match_col = col4row[:K] - K                                   # (K,)
-    prev_match = jnp.where(
+    return jnp.where(
         state.valid
         & (match_col >= 0)
         & jnp.take(valid, jnp.clip(match_col, 0, K - 1)),
         match_col,
         -1,
     )
+
+
+def _prev_match_enum(state: TrackState, cy, cx, valid, cfg: PipelineConfig, n: int):
+    """Enumeration LAP for frames with ≤ n live tracks AND ≤ n segments, all
+    in the first n slots (callers guarantee this; compacted tables are
+    valid-prefix).
+
+    The padded 2K×2K assignment decomposes exactly: a matching M costs
+      Σ_{(p,c)∈M} m(p,c) + |M|·(nonmatch+eps) + (P+C−2|M|)·nonmatch
+    (each match consumes one filler cell — the displaced current row parks on
+    the freed previous column — and every unmatched slot sits on its diagonal;
+    fillers strictly beat diagonals nowhere, so this arrangement is optimal
+    for any M).  Minimizing over M is a min-weight bipartite matching with
+    edge weight w(p,c) = m(p,c) + eps − nonmatch, and for n ≤ 4 all 209
+    partial matchings can be scored in one vectorized pass — no sequential
+    Dijkstra.  Invalid pairs carry weight _BIG: any pattern touching one
+    scores ≥ 1e9 − n > 0 ≥ the empty pattern, so it can never win (a chosen
+    edge must improve on unmatched, i.e. have w < 0).  Tie-breaking between
+    equal-cost optima may differ from JV's (same measure-zero caveat as
+    ops/hungarian.py)."""
+    K = state.cy.shape[0]
+    sub = TrackState(
+        cy=state.cy[:n], cx=state.cx[:n], valid=state.valid[:n],
+        hist_len=state.hist_len[:n], first_cy=state.first_cy[:n],
+        first_cx=state.first_cx[:n], fn=state.fn,
+    )
+    m = _match_block(sub, cy[:n], cx[:n], cfg)                    # (n, n)
+    w = m + (_EPS32 - jnp.float32(cfg.nonmatch_cost))
+    pair_ok = sub.valid[:, None] & valid[None, :n]
+    w = jnp.where(pair_ok, w, _BIG)
+    wpad = jnp.concatenate([w, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    pat = jnp.asarray(_pattern_table(n))                          # (P, n)
+    idx = jnp.where(pat >= 0, pat, n)
+    flat = wpad.reshape(-1)[(jnp.arange(n) * (n + 1))[None, :] + idx]
+    best = jnp.argmin(flat.sum(axis=-1))
+    return jnp.concatenate(
+        [pat[best], jnp.full((K - n,), -1, jnp.int32)]
+    )
+
+
+def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
+    state, events = carry
+    cy, cx, valid, fn, active = inputs
+    K = state.cy.shape[0]
+
+    n_enum = int(getattr(cfg, "track_enum_lap", 0))
+    if 0 < n_enum < K:
+        fits = ~(jnp.any(state.valid[n_enum:]) | jnp.any(valid[n_enum:]))
+        prev_match = jax.lax.cond(
+            fits,
+            lambda: _prev_match_enum(state, cy, cx, valid, cfg, n_enum),
+            lambda: _prev_match_lap(state, cy, cx, valid, cfg),
+        )
+    else:
+        prev_match = _prev_match_lap(state, cy, cx, valid, cfg)
     disappeared = state.valid & (prev_match < 0)
 
     # inverse map: which prev slot matched each curr slot (-1 if none)

@@ -83,6 +83,55 @@ def test_device_tracking_matches_host():
         np.testing.assert_allclose(d[1:], h[1:], atol=1e-3)
 
 
+def test_enum_lap_matches_jv(rng):
+    """The enumeration LAP (track_enum_lap=N: all partial matchings of the
+    first N slots scored in one vectorized pass) must be output-identical to
+    the sequential JV solve for any mix of under- and over-threshold frames,
+    including scattered validity inside the first N slots."""
+    import dataclasses
+
+    K = DEFAULT_CONFIG.max_tracks
+    roi = np.zeros((64, 96), np.uint8)
+    roi[0:16, 30:60] = 255
+    roi_d = jnp.asarray(roi)
+
+    for n_enum in (2, 3, 4):
+        cfg1 = dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=n_enum)
+        for trial in range(4):
+            T = int(rng.integers(30, 90))
+            cys = rng.uniform(0, 64, (T, K)).astype(np.float32)
+            cxs = rng.uniform(0, 96, (T, K)).astype(np.float32)
+            # short-range steps so the LAP sees real match structure
+            cys[1:] = np.clip(cys[:-1] + rng.uniform(-9, 9, (T - 1, K)), 0, 63)
+            cxs[1:] = np.clip(cxs[:-1] + rng.uniform(-9, 9, (T - 1, K)), 0, 95)
+            valids = np.zeros((T, K), bool)
+            for t in range(T):
+                r = rng.random()
+                if r < 0.15:
+                    continue                       # empty frame
+                if r < 0.8:                        # fits the enum block
+                    n = int(rng.integers(1, n_enum + 1))
+                    slots = rng.choice(n_enum, size=n, replace=False)
+                else:                              # forces the JV fallback
+                    n = int(rng.integers(n_enum + 1, 9))
+                    slots = rng.choice(K, size=n, replace=False)
+                valids[t, slots] = True
+            fns = np.arange(T, dtype=np.int32)
+
+            args = (
+                empty_state(K), roi_d,
+                jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids),
+                jnp.asarray(fns),
+            )
+            s0, e0 = track_window(*args, DEFAULT_CONFIG)
+            s1, e1 = track_window(*args, cfg1)
+            for a, b in zip(jax.tree.leaves((s0, e0)), jax.tree.leaves((s1, e1))):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"n_enum={n_enum} trial={trial}",
+                )
+
+
 def test_chunked_scan_matches_per_frame(rng):
     """track_window's chunked scan (empty-sky fast path over whole chunks)
     must be output-identical to the per-frame scan for any mix of empty,

@@ -59,6 +59,10 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=336)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=1)
+    ap.add_argument(
+        "--enum", type=int, default=0,
+        help="track_enum_lap threshold (0 = JV for every frame)",
+    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -69,10 +73,12 @@ def main(argv=None):
     import jax
     import jax.numpy as jnp
 
+    import dataclasses
+
     from swiftwatcher_tpu.config import DEFAULT_CONFIG
     from swiftwatcher_tpu.pipeline import tracking_jax as tj
 
-    cfg = DEFAULT_CONFIG
+    cfg = dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=args.enum)
     T, K = args.frames, cfg.max_tracks
     roi = np.zeros((100, 100), np.uint8)
     roi[55:80, 20:80] = 255
