@@ -59,8 +59,11 @@ def test_chaos_errors_codec_tracker_resume(tmp_path, seed):
     )
     assert plain.metrics.read_errors == len(fail)
 
-    # production stack: delta6 wire + device tracker + checkpoints...
-    cfg = dataclasses.replace(DEFAULT_CONFIG, wire_codec="delta6")
+    # production stack: delta6 wire + device tracker (enumeration LAP on,
+    # so the chaos composition crosses its cond fallback too) + checkpoints...
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, wire_codec="delta6", track_enum_lap=4
+    )
     ck = tmp_path / "chaos.ckpt"
     partial = FaultyArraySource(video.frames, fail, fps=video.fps)
     partial.total_frames = 42  # ...interrupted mid-video

@@ -6,9 +6,14 @@ current backend over synthetic compacted tables at several segment
 densities, in three variants:
 
   full   — the real step (cost matrix + JV LAP + events + linking)
+  enum   — track_enum_lap=4 (vectorized enumeration LAP on small frames,
+           JV fallback above the threshold); full-vs-enum is the enum win
   nolap  — solve_lap stubbed to the identity permutation (everything
            unmatched); the full-vs-nolap delta is the LAP's share
   empty  — all-invalid tables (the lax.cond fast path / chunk skip)
+
+All variants run interleaved in ONE process (the chip's clock mood swings
+~2x over minutes; only same-process A/Bs are meaningful).
 
 Prints one JSON line per (density, variant): ms per 336-frame batch and
 the implied fps.  Run on the chip to decide whether further tracker work
@@ -59,10 +64,6 @@ def main(argv=None):
     ap.add_argument("--frames", type=int, default=336)
     ap.add_argument("--iters", type=int, default=8)
     ap.add_argument("--chunk", type=int, default=1)
-    ap.add_argument(
-        "--enum", type=int, default=0,
-        help="track_enum_lap threshold (0 = JV for every frame)",
-    )
     ap.add_argument("--cpu", action="store_true")
     args = ap.parse_args(argv)
 
@@ -78,7 +79,8 @@ def main(argv=None):
     from swiftwatcher_tpu.config import DEFAULT_CONFIG
     from swiftwatcher_tpu.pipeline import tracking_jax as tj
 
-    cfg = dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=args.enum)
+    # "full" pins the JV path even if the shipped default flips to enum
+    cfg = dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=0)
     T, K = args.frames, cfg.max_tracks
     roi = np.zeros((100, 100), np.uint8)
     roi[55:80, 20:80] = 255
@@ -90,38 +92,37 @@ def main(argv=None):
     }
 
     real_lap = tj.solve_lap
+    cfg_enum = dataclasses.replace(cfg, track_enum_lap=4)
+    fns = jnp.arange(T, dtype=jnp.int32)
+    dev_streams = {
+        name: (jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids), fns)
+        for name, (cys, cxs, valids) in streams.items()
+    }
+    out = {}
 
     def build(variant):
-        # scan/cond body jaxprs are trace-cached; without this the nolap
-        # variant silently reuses the real-LAP trace (measured!)
-        jax.clear_caches()
-        if variant == "nolap":
-            tj.solve_lap = lambda cost, skip=None: jnp.arange(
-                cost.shape[0], dtype=jnp.int32
-            )
-        else:
-            tj.solve_lap = real_lap
+        vcfg = cfg_enum if variant == "enum" else cfg
 
         @jax.jit
         def run(cys, cxs, valids, fns):
             def body(i, acc):
                 st, ev = tj.track_window(
                     tj.empty_state(K), jnp.asarray(roi), cys, cxs, valids,
-                    fns, cfg, chunk=args.chunk,
+                    fns, vcfg, chunk=args.chunk,
                 )
                 return acc + ev.count + st.hist_len.sum()
 
             return jax.lax.fori_loop(0, args.iters, body, jnp.int32(0))
 
+        # trace + compile every stream NOW, while the intended solve_lap
+        # monkeypatch is active (jit defers tracing to the first call, and
+        # track_window's cache key does not see the patch — measured!)
+        for a in dev_streams.values():
+            int(run(*a))
         return run
 
-    fns = jnp.arange(T, dtype=jnp.int32)
-    out = {}
-    for variant in ("full", "nolap"):
-        run = build(variant)
-        for name, (cys, cxs, valids) in streams.items():
-            a = (jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids), fns)
-            int(run(*a))  # compile + warm
+    def measure(variant, run):
+        for name, a in dev_streams.items():
             t0 = time.perf_counter()
             s = int(run(*a))
             dt = time.perf_counter() - t0
@@ -139,7 +140,22 @@ def main(argv=None):
                 ),
                 flush=True,
             )
+
+    # nolap floor in its own trace world (same cfg as full -> same jit cache
+    # key, so it must not coexist with the real-LAP trace)
+    jax.clear_caches()
+    tj.solve_lap = lambda cost, skip=None: jnp.arange(
+        cost.shape[0], dtype=jnp.int32
+    )
+    measure("nolap", build("nolap"))
     tj.solve_lap = real_lap
+    jax.clear_caches()
+
+    # full vs enum: distinct static cfgs (no key collision), compiled
+    # together, timed interleaved — the mood-proof A/B
+    run_full, run_enum = build("full"), build("enum")
+    measure("full", run_full)
+    measure("enum", run_enum)
     if out.get("full:dense") and out.get("nolap:dense"):
         print(
             json.dumps(
@@ -151,6 +167,16 @@ def main(argv=None):
                         1 - out.get("nolap:sparse", 0) / out["full:sparse"], 3
                     )
                     if out.get("full:sparse")
+                    else None,
+                    "enum_speedup_dense": round(
+                        out["full:dense"] / out["enum:dense"], 2
+                    )
+                    if out.get("enum:dense")
+                    else None,
+                    "enum_speedup_mixed": round(
+                        out["full:mixed"] / out["enum:mixed"], 2
+                    )
+                    if out.get("enum:mixed")
                     else None,
                 }
             )
