@@ -260,6 +260,43 @@ def test_tracker_fuzz_vs_reference(ref):
             for ev in ours.events
         )
         assert our_events == ref_events
+
+        # device tracker on the same reference-shaped corpus: the JV and
+        # enumeration LAP paths must be BITWISE equal to each other.  (They
+        # are not asserted against the reference here: this corpus draws
+        # steps up to 24 px, f32-rounding distance from the 25-px cost knee,
+        # where the device tracker's f32 costs can legitimately flip a
+        # match the f64 host/reference keeps — PARITY.md deviation 10; the
+        # e2e device-vs-host suites cover realistic streams.)
+        import dataclasses
+
+        import jax
+        import jax.numpy as jnp
+
+        from swiftwatcher_tpu.pipeline.tracking_jax import (
+            empty_state,
+            track_window,
+        )
+
+        K = DEFAULT_CONFIG.max_tracks
+        T = len(frames)
+        cys = np.zeros((T, K), np.float32)
+        cxs = np.zeros((T, K), np.float32)
+        valids = np.zeros((T, K), bool)
+        for t, cents in enumerate(frames):
+            for k, (cy, cx) in enumerate(cents[:K]):
+                cys[t, k], cxs[t, k], valids[t, k] = cy, cx, True
+        dev_args = (
+            empty_state(K), jnp.asarray(roi), jnp.asarray(cys),
+            jnp.asarray(cxs), jnp.asarray(valids),
+            jnp.arange(T, dtype=jnp.int32),
+        )
+        out_jv = track_window(*dev_args, DEFAULT_CONFIG)
+        out_enum = track_window(
+            *dev_args, dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=4)
+        )
+        for a, b in zip(jax.tree.leaves(out_jv), jax.tree.leaves(out_enum)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
     assert compared >= 15  # the crash path must not dominate the sample
 
 
