@@ -87,10 +87,17 @@ def test_run_video_mesh_mode_matches_single(mesh, cpu_devices):
     video = make_video(seed=2, n_frames=63, n_entering=2, n_crossing=1)
     import dataclasses as _dc
 
-    cfg = _dc.replace(DEFAULT_CONFIG, batch_windows=4)  # 4 % data(4) == 0
-    base = run_video(ArraySource(video.frames, fps=video.fps), video.corners, cfg)
+    # enum LAP on: mesh mode + device tracker + enumeration assignment
+    cfg = _dc.replace(
+        DEFAULT_CONFIG, batch_windows=4, track_enum_lap=4  # 4 % data(4) == 0
+    )
+    base = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        tracker_impl="device",
+    )
     sharded = run_video(
-        ArraySource(video.frames, fps=video.fps), video.corners, cfg, mesh=mesh
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        mesh=mesh, tracker_impl="device",
     )
     assert sharded.total_predicted == base.total_predicted
     assert sharded.total_rejected == base.total_rejected
