@@ -141,21 +141,21 @@ def main(argv=None):
                 flush=True,
             )
 
-    # nolap floor in its own trace world (same cfg as full -> same jit cache
-    # key, so it must not coexist with the real-LAP trace)
+    # full vs enum first (the decision-critical A/B): distinct static cfgs
+    # (no key collision), compiled together, timed interleaved — the
+    # mood-proof comparison
+    run_full, run_enum = build("full"), build("enum")
+    measure("full", run_full)
+    measure("enum", run_enum)
+
+    # nolap floor last, in its own trace world (same cfg as full -> same
+    # jit cache key, so it must not coexist with the real-LAP trace)
     jax.clear_caches()
     tj.solve_lap = lambda cost, skip=None: jnp.arange(
         cost.shape[0], dtype=jnp.int32
     )
     measure("nolap", build("nolap"))
     tj.solve_lap = real_lap
-    jax.clear_caches()
-
-    # full vs enum: distinct static cfgs (no key collision), compiled
-    # together, timed interleaved — the mood-proof A/B
-    run_full, run_enum = build("full"), build("enum")
-    measure("full", run_full)
-    measure("enum", run_enum)
     if out.get("full:dense") and out.get("nolap:dense"):
         print(
             json.dumps(
