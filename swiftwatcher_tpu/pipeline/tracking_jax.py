@@ -148,6 +148,17 @@ def _pattern_table(n: int) -> np.ndarray:
     return np.asarray(pats, np.int32)
 
 
+@functools.lru_cache(maxsize=None)
+def _pattern_onehot(n: int) -> np.ndarray:
+    """(num_patterns, n, n) f32 one-hot of _pattern_table: [q, p, c] = 1 iff
+    pattern q matches prev slot p to curr slot c (all-zero row for −1).
+    Scoring contracts this against the weight block as a multiply-reduce —
+    TPU gathers cost ~1.25 ns/element, so indexing the weights per frame
+    inside the scan would dominate the enum step."""
+    pats = _pattern_table(n)
+    return (pats[:, :, None] == np.arange(n)[None, None, :]).astype(np.float32)
+
+
 def _prev_match_lap(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
     """(K,) int32: current-slot index matched to each previous slot (−1 if
     unmatched), via the full padded JV solve."""
@@ -195,11 +206,10 @@ def _prev_match_enum(state: TrackState, cy, cx, valid, cfg: PipelineConfig, n: i
     w = m + (_EPS32 - jnp.float32(cfg.nonmatch_cost))
     pair_ok = sub.valid[:, None] & valid[None, :n]
     w = jnp.where(pair_ok, w, _BIG)
-    wpad = jnp.concatenate([w, jnp.zeros((n, 1), jnp.float32)], axis=1)
+    oh = jnp.asarray(_pattern_onehot(n))                          # (P, n, n)
+    scores = jnp.sum(oh * w[None, :, :], axis=(1, 2))             # (P,)
+    best = jnp.argmin(scores)
     pat = jnp.asarray(_pattern_table(n))                          # (P, n)
-    idx = jnp.where(pat >= 0, pat, n)
-    flat = wpad.reshape(-1)[(jnp.arange(n) * (n + 1))[None, :] + idx]
-    best = jnp.argmin(flat.sum(axis=-1))
     return jnp.concatenate(
         [pat[best], jnp.full((K - n,), -1, jnp.int32)]
     )
