@@ -104,10 +104,9 @@ def _match_block(state: TrackState, cy, cx, cfg: PipelineConfig):
     return (0.5 * d_cost + 0.5 * a_cost).astype(jnp.float32)
 
 
-def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig, match=None):
+def _cost_matrix(state: TrackState, cy, cx, valid, cfg: PipelineConfig):
     K = state.cy.shape[0]
-    if match is None:
-        match = _match_block(state, cy, cx, cfg)
+    match = _match_block(state, cy, cx, cfg)
 
     pv, cv = state.valid, valid
     rv = jnp.concatenate([pv, cv])                      # row validity (2K,)
