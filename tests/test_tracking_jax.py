@@ -132,6 +132,30 @@ def test_enum_lap_matches_jv(rng):
                 )
 
 
+def test_pattern_table_shapes():
+    """Matching-pattern counts are the known combinatorial series
+    sum_k C(n,k)^2 k!; n>6 is rejected before the table explodes."""
+    import pytest
+
+    from swiftwatcher_tpu.pipeline.tracking_jax import (
+        _pattern_onehot,
+        _pattern_table,
+    )
+
+    for n, count in ((1, 2), (2, 7), (3, 34), (4, 209), (5, 1546), (6, 13327)):
+        pats = _pattern_table(n)
+        assert pats.shape == (count, n)
+        # every pattern is a partial matching: no column used twice
+        for row in pats:
+            used = [c for c in row if c >= 0]
+            assert len(used) == len(set(used))
+        oh = _pattern_onehot(n)
+        assert oh.shape == (count, n, n)
+        np.testing.assert_array_equal(oh.sum(-1), (pats >= 0).astype(np.float32))
+    with pytest.raises(ValueError):
+        _pattern_table(7)
+
+
 def test_chunked_scan_matches_per_frame(rng):
     """track_window's chunked scan (empty-sky fast path over whole chunks)
     must be output-identical to the per-frame scan for any mix of empty,
