@@ -95,6 +95,33 @@ def test_classify_composes_with_device_tracker(video):
     assert dev.total_rejected == host.total_rejected
 
 
+def test_classify_composes_with_mesh(video):
+    """--classify x --mesh x device tracker (+ enum LAP): the sharded
+    production stack must reproduce the unsharded keep-mask run event for
+    event."""
+    import jax
+
+    from swiftwatcher_tpu.parallel.mesh import make_mesh
+
+    if len(jax.devices()) < 8:
+        pytest.skip("needs 8 devices (CPU mesh); running on real hardware")
+    cfg = dataclasses.replace(
+        DEFAULT_CONFIG, batch_windows=4, track_enum_lap=4
+    )
+    base = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="device",
+    )
+    sharded = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="device",
+        mesh=make_mesh(8, shape=(4, 2)),
+    )
+    assert _events_key(sharded) == _events_key(base)
+    assert sharded.total_predicted == base.total_predicted
+    assert sharded.total_rejected == base.total_rejected
+
+
 def test_device_tracker_keeps_all_equals_no_filter(video):
     class KeepAll(EvenRejector):
         def __call__(self, table, index, frame, crop_region):
