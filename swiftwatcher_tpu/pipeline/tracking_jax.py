@@ -247,10 +247,13 @@ def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
     cap = events.first_cy.shape[0]
     ev_first_cy = jnp.where(state.hist_len > 0, state.first_cy, state.cy)
     ev_first_cx = jnp.where(state.hist_len > 0, state.first_cx, state.cx)
-    order = jnp.argsort(~is_event, stable=True)                   # events first
+    # event slot k lands at count + (its rank among events in ascending slot
+    # order) — the cumsum IS that rank, so no argsort/permutation is needed
+    # (sorts are multi-pass networks on TPU and this runs per scan step);
+    # placement is identical to compacting events first and appending
     n_ev = jnp.sum(is_event).astype(jnp.int32)
-    pos = events.count + jnp.arange(K, dtype=jnp.int32)
-    write = (jnp.arange(K) < n_ev) & (pos < cap)
+    pos = events.count + jnp.cumsum(is_event) - 1                 # (K,)
+    write = is_event & (pos < cap)
     slot = jnp.where(write, pos, cap)                             # cap = dump
 
     def scatter(buf, vals):
@@ -258,10 +261,10 @@ def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
         return ext.at[slot].set(vals.astype(buf.dtype))[:cap]
 
     events = EventBuffer(
-        first_cy=scatter(events.first_cy, ev_first_cy[order]),
-        first_cx=scatter(events.first_cx, ev_first_cx[order]),
-        last_cy=scatter(events.last_cy, state.cy[order]),
-        last_cx=scatter(events.last_cx, state.cx[order]),
+        first_cy=scatter(events.first_cy, ev_first_cy),
+        first_cx=scatter(events.first_cx, ev_first_cx),
+        last_cy=scatter(events.last_cy, state.cy),
+        last_cx=scatter(events.last_cx, state.cx),
         last_fn=scatter(events.last_fn, jnp.full((K,), state.fn)),
         count=jnp.minimum(events.count + n_ev, cap),
         overflow=events.overflow | (events.count + n_ev > cap),
