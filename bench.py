@@ -218,6 +218,43 @@ def sharded_resident_fps(cfg, video, frames=6720):
     return _time_device_loop(run_k, batch, frames, B, T), (data, model)
 
 
+def _arm_watchdog():
+    """Fail loudly instead of hanging forever when the TPU is unreachable.
+
+    This rig's axon tunnel goes fully dark for hours at a time (see
+    CLAUDE.md rig notes): every dispatch and even plain device_put blocks
+    indefinitely, so an outage at bench time would otherwise hang the
+    harness with no output at all.  After BENCH_WATCHDOG_SECS (default 45
+    min — far beyond any healthy run, which completes in a few minutes
+    warm) print an explicit zero-value error line and exit nonzero."""
+    import os
+    import threading
+
+    secs = float(os.environ.get("BENCH_WATCHDOG_SECS", "2700"))
+
+    def fire():
+        print(
+            json.dumps(
+                {
+                    "metric": "1080p_frames_per_sec_per_chip",
+                    "value": 0,
+                    "unit": "frames/sec",
+                    "vs_baseline": 0,
+                    "error": "watchdog: TPU unreachable after "
+                    f"{int(secs)}s (axon tunnel outage — CLAUDE.md rig "
+                    "notes); no measurement taken",
+                }
+            ),
+            flush=True,
+        )
+        os._exit(3)
+
+    t = threading.Timer(secs, fire)
+    t.daemon = True
+    t.start()
+    return t
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1680)
@@ -237,6 +274,7 @@ def main():
         "~1000x below a real v5e host link)",
     )
     args = ap.parse_args()
+    watchdog = _arm_watchdog()
 
     cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=args.batch_windows)
 
@@ -264,6 +302,7 @@ def main():
                 }
             )
         )
+        watchdog.cancel()
         return 0
 
     # Warmup: full pipeline once to pay compiles.  The on-device tracker is
@@ -387,6 +426,7 @@ def main():
         ),
         file=sys.stderr,
     )
+    watchdog.cancel()
     return 0
 
 
