@@ -182,14 +182,21 @@ def test_chunked_scan_matches_per_frame(rng):
         active = rng.random(T) > 0.15
         fns = np.arange(T, dtype=np.int32)
 
-        args = (
-            empty_state(K), roi_d,
-            jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids),
-            jnp.asarray(fns), DEFAULT_CONFIG, jnp.asarray(active),
-        )
-        s1, e1 = track_window(*args, chunk=1)
-        s8, e8 = track_window(*args, chunk=8)
-        for a, b in zip(jax.tree.leaves((s1, e1)), jax.tree.leaves((s8, e8))):
-            np.testing.assert_array_equal(
-                np.asarray(a), np.asarray(b), err_msg=f"trial {trial}"
+        import dataclasses
+
+        for cfg in (
+            DEFAULT_CONFIG,
+            dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=4),
+        ):
+            args = (
+                empty_state(K), roi_d,
+                jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids),
+                jnp.asarray(fns), cfg, jnp.asarray(active),
             )
+            s1, e1 = track_window(*args, chunk=1)
+            s8, e8 = track_window(*args, chunk=8)
+            for a, b in zip(jax.tree.leaves((s1, e1)), jax.tree.leaves((s8, e8))):
+                np.testing.assert_array_equal(
+                    np.asarray(a), np.asarray(b),
+                    err_msg=f"trial {trial} enum={cfg.track_enum_lap}",
+                )
