@@ -127,13 +127,22 @@ def solve_lap(cost: jnp.ndarray, skip: jnp.ndarray | None = None) -> jnp.ndarray
         return col4row
 
     # Pre-assign padding rows to their zero diagonal (see docstring), then
-    # augment ONLY the valid rows, in ascending index order (stable argsort),
-    # via a dynamic-trip while_loop: the per-frame cost becomes O(real
-    # segments), not O(capacity).  Sequential-loop overhead dominates these
-    # tiny LAPs on TPU, so skipping steps (not just their work) matters.
+    # augment ONLY the valid rows, in ascending index order, via a
+    # dynamic-trip while_loop: the per-frame cost becomes O(real segments),
+    # not O(capacity).  Sequential-loop overhead dominates these tiny LAPs
+    # on TPU, so skipping steps (not just their work) matters.  The order
+    # (valid rows ascending, then don't-care) comes from a cumsum-rank
+    # scatter rather than a stable argsort — sorts are multi-pass networks
+    # on TPU and this runs inside the tracking scan; only the first n_valid
+    # entries are ever read.
     row4col0 = jnp.where(skip, rows, -1)
     col4row0 = jnp.where(skip, rows, -1)
-    valid_order = jnp.argsort(skip, stable=True)        # valid rows first
+    ranks = jnp.cumsum(~skip) - 1
+    valid_order = (
+        jnp.zeros((N + 1,), jnp.int32)
+        .at[jnp.where(~skip, ranks, N)]
+        .set(rows)[:N]
+    )
     n_valid = jnp.sum(~skip).astype(jnp.int32)
 
     def w_cond(s):
