@@ -132,6 +132,90 @@ def test_enum_lap_matches_jv(rng):
                 )
 
 
+def test_enum_lap_ties_are_optimal(rng):
+    """Single-frame matchings from the enum and JV paths: wherever they
+    differ, BOTH must be optimal for the frame's weight matrix up to f32
+    rounding (exact equal-cost ties — duplicate integer-snapped centroids —
+    and near-ties inside one f32 ulp, where the two solvers' different f32
+    summation orders legitimately disagree, are the only permitted
+    divergences; PARITY.md deviation 10)."""
+    import dataclasses
+
+    from swiftwatcher_tpu.pipeline.tracking_jax import (
+        TrackState,
+        _match_block,
+        _pattern_table,
+        _prev_match_enum,
+        _prev_match_lap,
+        empty_state,
+    )
+
+    cfg = DEFAULT_CONFIG
+    K = cfg.max_tracks
+    n = 4
+    pats = _pattern_table(n)
+    ties = diffs = 0
+    for trial in range(300):
+        snap = trial % 2  # integer-snapped halves force exact ties
+        def coords(m):
+            c = rng.uniform(0, 40, (2, m)).astype(np.float32)
+            return np.floor(c) if snap else c
+        P = int(rng.integers(0, n + 1))
+        C = int(rng.integers(0, n + 1))
+        pcy, pcx = coords(K)
+        ccy, ccx = coords(K)
+        pv = np.zeros(K, bool); pv[:P] = True
+        cv = np.zeros(K, bool); cv[:C] = True
+        hist = (rng.integers(0, 3, K)).astype(np.int32) * pv
+        fcy, fcx = coords(K)
+        state = TrackState(
+            cy=jnp.asarray(pcy), cx=jnp.asarray(pcx), valid=jnp.asarray(pv),
+            hist_len=jnp.asarray(hist), first_cy=jnp.asarray(fcy),
+            first_cx=jnp.asarray(fcx), fn=jnp.asarray(0, jnp.int32),
+        )
+        m_jv = np.asarray(
+            _prev_match_lap(state, jnp.asarray(ccy), jnp.asarray(ccx),
+                            jnp.asarray(cv), cfg)
+        )
+        m_en = np.asarray(
+            _prev_match_enum(state, jnp.asarray(ccy), jnp.asarray(ccx),
+                             jnp.asarray(cv), cfg, n)
+        )
+        if np.array_equal(m_jv, m_en):
+            continue
+        diffs += 1
+        # score both matchings (and the true optimum) in f64 on the same
+        # f32 weight block the solvers saw
+        mb = np.asarray(
+            _match_block(state, jnp.asarray(ccy), jnp.asarray(ccx), cfg)
+        ).astype(np.float64)
+        w = mb + (float(np.float32(1.1920929e-07)) - cfg.nonmatch_cost)
+        w = np.where(pv[:, None] & cv[None, :], w, np.inf)[:n, :n]
+
+        def score(match):
+            s = 0.0
+            for p in range(n):
+                if match[p] >= 0:
+                    s += w[p, match[p]]
+            return s
+
+        best = min(
+            sum(w[p, c] for p, c in enumerate(row) if c >= 0) for row in pats
+        )
+        s_jv, s_en = score(m_jv), score(m_en)
+        # optimal up to f32 rounding of the ~4-term score sums
+        tol = 4 * np.float32(1.1920929e-07) * max(
+            1.0, abs(best), abs(s_jv), abs(s_en)
+        )
+        assert abs(s_jv - best) <= tol, (trial, s_jv, best)
+        assert abs(s_en - best) <= tol, (trial, s_en, best)
+        ties += 1
+    # the integer-snapped corpus must actually produce some ties, or this
+    # test is vacuous
+    assert diffs == ties
+    assert ties >= 1
+
+
 def test_pattern_table_shapes():
     """Matching-pattern counts are the known combinatorial series
     sum_k C(n,k)^2 k!; n>6 is rejected before the table explodes."""
