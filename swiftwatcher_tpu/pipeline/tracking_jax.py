@@ -193,8 +193,10 @@ def _prev_match_enum(state: TrackState, cy, cx, valid, cfg: PipelineConfig, n: i
     Dijkstra.  Invalid pairs carry weight _BIG: any pattern touching one
     scores ≥ 1e9 − n > 0 ≥ the empty pattern, so it can never win (a chosen
     edge must improve on unmatched, i.e. have w < 0).  Tie-breaking between
-    equal-cost optima may differ from JV's (same measure-zero caveat as
-    ops/hungarian.py)."""
+    equal-cost (or one-f32-ulp near-tie) optima may differ from JV's —
+    measure-zero on float centroids, reachable on integer-snapped
+    duplicates; both resolutions are optimal within f32 rounding
+    (PARITY.md deviation 10, test_enum_lap_ties_are_optimal)."""
     K = state.cy.shape[0]
     sub = TrackState(
         cy=state.cy[:n], cx=state.cx[:n], valid=state.valid[:n],
