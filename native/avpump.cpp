@@ -1,0 +1,297 @@
+// Sequential container decoder over the system FFmpeg libraries
+// (libavformat/libavcodec/libswscale) with in-process FRAME THREADING.
+//
+// First-party high-rate decode path for the reference's real input format
+// (H.264/MPEG-4 in MP4 — /root/reference/swiftwatcher/io_video.py:137-165
+// decodes it strictly sequentially on one core through cv2.VideoCapture).
+// Unlike io/parallel_decode.py (chunk-claiming cv2 worker PROCESSES, which
+// needs frame-accurate seeking), libavcodec's frame threading parallelizes
+// the decode itself inside one process and works on any container.
+//
+// Parity: H.264/MPEG-4 decode is conformance-exact (every compliant decoder
+// emits identical YUV), and the YUV->BGR24 step goes through libswscale
+// exactly as cv2's FFmpeg backend does.  cv2 wheels bundle their own FFmpeg
+// (possibly a different swscale major), so the Python caller PROBES the
+// first frames for byte equality against cv2 before engaging this backend
+// (io/readers.py), mirroring parallel_decode's probe-gating.
+//
+// Build: g++ -O3 -shared -fPIC avpump.cpp -lavformat -lavcodec -lswscale -lavutil
+
+#include <cmath>
+#include <cstdint>
+#include <cstring>
+
+extern "C" {
+#include <libavcodec/avcodec.h>
+#include <libavformat/avformat.h>
+#include <libavutil/imgutils.h>
+#include <libswscale/swscale.h>
+}
+
+namespace {
+
+struct AvPump {
+  AVFormatContext *fmt = nullptr;
+  AVCodecContext *dec = nullptr;
+  SwsContext *sws = nullptr;
+  AVPacket *pkt = nullptr;
+  AVFrame *frame = nullptr;
+  int stream_index = -1;
+  int width = 0, height = 0;
+  AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
+  bool draining = false;  // EOF reached on the demuxer; flushing the decoder
+};
+
+void pump_free(AvPump *p) {
+  if (!p) return;
+  if (p->sws) sws_freeContext(p->sws);
+  if (p->frame) av_frame_free(&p->frame);
+  if (p->pkt) av_packet_free(&p->pkt);
+  if (p->dec) avcodec_free_context(&p->dec);
+  if (p->fmt) avformat_close_input(&p->fmt);
+  delete p;
+}
+
+// cv2's CvCapture_FFMPEG::get_fps(): avg_frame_rate, falling back to
+// av_guess_frame_rate when the container does not record an average.
+double stream_fps(AVFormatContext *fmt, AVStream *st) {
+  double fps = av_q2d(st->avg_frame_rate);
+  if (!(fps > 0.0) || !std::isfinite(fps))
+    fps = av_q2d(av_guess_frame_rate(fmt, st, nullptr));
+  if (!(fps > 0.0) || !std::isfinite(fps)) fps = 0.0;
+  return fps;
+}
+
+// cv2's get_total_frames(): nb_frames when the container indexes it (MP4
+// stts does), else round(duration_sec * fps).
+int64_t stream_nframes(AVFormatContext *fmt, AVStream *st, double fps) {
+  int64_t n = st->nb_frames;
+  if (n > 0) return n;
+  double sec = 0.0;
+  if (fmt->duration != AV_NOPTS_VALUE)
+    sec = (double)fmt->duration / AV_TIME_BASE;
+  else if (st->duration != AV_NOPTS_VALUE)
+    sec = st->duration * av_q2d(st->time_base);
+  return (int64_t)std::floor(sec * fps + 0.5);
+}
+
+}  // namespace
+
+extern "C" {
+
+// Open `path` for sequential decode.  Outputs container metadata exactly as
+// cv2 reports it (fps, frame count, coded dimensions) and returns an opaque
+// handle, or nullptr on any failure (caller falls back to cv2).
+void *swt_av_open(const char *path, int *n_frames, double *fps, int *width,
+                  int *height, int n_threads) {
+  AvPump *p = new AvPump();
+  if (avformat_open_input(&p->fmt, path, nullptr, nullptr) < 0) {
+    pump_free(p);
+    return nullptr;
+  }
+  if (avformat_find_stream_info(p->fmt, nullptr) < 0) {
+    pump_free(p);
+    return nullptr;
+  }
+  const AVCodec *codec = nullptr;
+  p->stream_index =
+      av_find_best_stream(p->fmt, AVMEDIA_TYPE_VIDEO, -1, -1, &codec, 0);
+  if (p->stream_index < 0 || !codec) {
+    pump_free(p);
+    return nullptr;
+  }
+  AVStream *st = p->fmt->streams[p->stream_index];
+  p->dec = avcodec_alloc_context3(codec);
+  if (!p->dec ||
+      avcodec_parameters_to_context(p->dec, st->codecpar) < 0) {
+    pump_free(p);
+    return nullptr;
+  }
+  // In-process parallel decode: frame threading overlaps whole-picture
+  // decodes across cores; slice threading splits one picture.  Decode
+  // output order is unchanged (send/receive reorders internally).
+  p->dec->thread_count = n_threads > 0 ? n_threads : 0;  // 0 = auto
+  p->dec->thread_type = FF_THREAD_FRAME | FF_THREAD_SLICE;
+  if (avcodec_open2(p->dec, codec, nullptr) < 0) {
+    pump_free(p);
+    return nullptr;
+  }
+  p->pkt = av_packet_alloc();
+  p->frame = av_frame_alloc();
+  if (!p->pkt || !p->frame) {
+    pump_free(p);
+    return nullptr;
+  }
+  p->width = st->codecpar->width;
+  p->height = st->codecpar->height;
+  double f = stream_fps(p->fmt, st);
+  *fps = f;
+  *n_frames = (int)stream_nframes(p->fmt, st, f);
+  *width = p->width;
+  *height = p->height;
+  if (p->width <= 0 || p->height <= 0) {
+    pump_free(p);
+    return nullptr;
+  }
+  return p;
+}
+
+// Decode the next frame into `out` as tightly-packed BGR24 (h*w*3 bytes).
+// Returns 0 on success, 1 at end of stream, -1 on decode error (the stream
+// position still advances — same contract as a failed cv2 retrieve, so the
+// caller's last-good-frame substitution applies, io_video.py:51-53).
+int swt_av_read_bgr(void *handle, uint8_t *out, int max_h, int max_w,
+                    int *out_h, int *out_w) {
+  AvPump *p = (AvPump *)handle;
+  if (!p) return 1;
+  while (true) {
+    int rc = avcodec_receive_frame(p->dec, p->frame);
+    if (rc == 0) break;
+    if (rc == AVERROR_EOF) return 1;
+    if (rc != AVERROR(EAGAIN)) return -1;
+    if (p->draining) return 1;
+    // need more input
+    while (true) {
+      rc = av_read_frame(p->fmt, p->pkt);
+      if (rc < 0) {
+        p->draining = true;
+        avcodec_send_packet(p->dec, nullptr);  // flush delayed frames
+        break;
+      }
+      if (p->pkt->stream_index != p->stream_index) {
+        av_packet_unref(p->pkt);
+        continue;
+      }
+      rc = avcodec_send_packet(p->dec, p->pkt);
+      av_packet_unref(p->pkt);
+      if (rc < 0 && rc != AVERROR(EAGAIN)) return -1;
+      break;
+    }
+  }
+  int w = p->frame->width, h = p->frame->height;
+  if (w > max_w || h > max_h) {
+    av_frame_unref(p->frame);
+    return -1;
+  }
+  AVPixelFormat src_fmt = (AVPixelFormat)p->frame->format;
+  if (!p->sws || p->sws_src_fmt != src_fmt) {
+    // same flags family as cv2's FFmpeg capture (SWS_BICUBIC); for the
+    // unscaled same-geometry conversion swscale dispatches its exact
+    // fixed-point yuv2rgb converters, so flags do not perturb output
+    if (p->sws) sws_freeContext(p->sws);
+    p->sws = sws_getContext(w, h, src_fmt, w, h, AV_PIX_FMT_BGR24,
+                            SWS_BICUBIC, nullptr, nullptr, nullptr);
+    p->sws_src_fmt = src_fmt;
+    if (!p->sws) {
+      av_frame_unref(p->frame);
+      return -1;
+    }
+  }
+  uint8_t *dst_data[4] = {out, nullptr, nullptr, nullptr};
+  int dst_stride[4] = {w * 3, 0, 0, 0};
+  sws_scale(p->sws, p->frame->data, p->frame->linesize, 0, h, dst_data,
+            dst_stride);
+  av_frame_unref(p->frame);
+  *out_h = h;
+  *out_w = w;
+  return 0;
+}
+
+void swt_av_close(void *handle) { pump_free((AvPump *)handle); }
+
+// Encode `n` packed-BGR24 frames into an MP4 at `path` using the named
+// system encoder ("libx264", "mpeg4", ...).  Fixture generator for parity
+// tests on the reference's real capture format (H.264 MP4): the cv2 wheel's
+// bundled FFmpeg ships no H.264 ENCODER, so test H.264 streams must be
+// fabricated through the system libavcodec.  Returns 0 on success.
+int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
+                      int w, double fps, const char *codec_name) {
+  const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
+  if (!codec) return -1;
+  AVFormatContext *fmt = nullptr;
+  if (avformat_alloc_output_context2(&fmt, nullptr, nullptr, path) < 0 || !fmt)
+    return -1;
+  int rc = -1;
+  AVCodecContext *enc = nullptr;
+  SwsContext *sws = nullptr;
+  AVFrame *frame = nullptr;
+  AVPacket *pkt = nullptr;
+  AVStream *st = avformat_new_stream(fmt, codec);
+  // timebase = 1/fps with fps as an exact rational (1/fps through av_d2q
+  // picks an inexact denominator that skews duration and drops the final
+  // delayed frame at decode)
+  AVRational tb = av_inv_q(av_d2q(fps, 1 << 16));
+  do {
+    if (!st) break;
+    enc = avcodec_alloc_context3(codec);
+    if (!enc) break;
+    enc->width = w;
+    enc->height = h;
+    enc->time_base = tb;
+    enc->framerate = av_inv_q(tb);
+    enc->pix_fmt = AV_PIX_FMT_YUV420P;
+    enc->gop_size = 12;
+    // no B-frames: with reordering, the mp4 edit-list/dts-shift interplay
+    // makes decoders (cv2's AND this one, identically) surface one frame
+    // fewer than nb_frames; fixtures should have count == decodable frames
+    enc->max_b_frames = 0;
+    if (fmt->oformat->flags & AVFMT_GLOBALHEADER)
+      enc->flags |= AV_CODEC_FLAG_GLOBAL_HEADER;
+    if (avcodec_open2(enc, codec, nullptr) < 0) break;
+    if (avcodec_parameters_from_context(st->codecpar, enc) < 0) break;
+    st->time_base = tb;
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) &&
+        avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
+      break;
+    if (avformat_write_header(fmt, nullptr) < 0) break;
+    sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUV420P,
+                         SWS_BICUBIC, nullptr, nullptr, nullptr);
+    frame = av_frame_alloc();
+    pkt = av_packet_alloc();
+    if (!sws || !frame || !pkt) break;
+    frame->format = AV_PIX_FMT_YUV420P;
+    frame->width = w;
+    frame->height = h;
+    if (av_frame_get_buffer(frame, 0) < 0) break;
+    bool failed = false;
+    for (int i = 0; i <= n && !failed; i++) {
+      AVFrame *send = nullptr;
+      if (i < n) {
+        const uint8_t *src_data[4] = {bgr + (size_t)i * h * w * 3, nullptr,
+                                      nullptr, nullptr};
+        int src_stride[4] = {w * 3, 0, 0, 0};
+        if (av_frame_make_writable(frame) < 0) { failed = true; break; }
+        sws_scale(sws, src_data, src_stride, 0, h, frame->data,
+                  frame->linesize);
+        frame->pts = i;
+        send = frame;
+      }
+      if (avcodec_send_frame(enc, send) < 0) { failed = true; break; }
+      while (true) {
+        int r = avcodec_receive_packet(enc, pkt);
+        if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
+        if (r < 0) { failed = true; break; }
+        if (pkt->duration == 0) pkt->duration = 1;  // one frame in enc tb;
+        // without it the mp4 muxer records a 0-length final sample and the
+        // container's duration/avg_frame_rate come out short by one frame
+        av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
+        pkt->stream_index = st->index;
+        if (av_interleaved_write_frame(fmt, pkt) < 0) { failed = true; break; }
+      }
+    }
+    if (failed) break;
+    if (av_write_trailer(fmt) < 0) break;
+    rc = 0;
+  } while (false);
+  if (sws) sws_freeContext(sws);
+  if (frame) av_frame_free(&frame);
+  if (pkt) av_packet_free(&pkt);
+  if (enc) avcodec_free_context(&enc);
+  if (fmt) {
+    if (!(fmt->oformat->flags & AVFMT_NOFILE) && fmt->pb) avio_closep(&fmt->pb);
+    avformat_free_context(fmt);
+  }
+  return rc;
+}
+
+}  // extern "C"

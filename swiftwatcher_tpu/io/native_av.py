@@ -1,0 +1,219 @@
+"""ctypes bindings for the libav-backed container decoder (native/avpump.cpp).
+
+Separate shared library from framepump's: it links the system FFmpeg
+libraries (libavformat/libavcodec/libswscale), which a deploy host may not
+have — keeping it in its own .so means framepump's jpeg/codec entry points
+stay available even when libav is absent.  All failure modes degrade to the
+cv2 backend via is_available()/AVReader.open() returning None.
+
+Engagement is parity-gated by the caller (io/readers.py probes the first
+frames for byte equality against cv2): decode itself is conformance-exact
+for H.264/MPEG-4, but cv2 wheels bundle their own FFmpeg whose swscale
+YUV->BGR rounding could in principle differ from the system build's.
+"""
+
+from __future__ import annotations
+
+import ctypes
+import os
+import subprocess
+import threading
+from pathlib import Path
+from typing import Optional
+
+import numpy as np
+
+_SRC = Path(__file__).resolve().parent.parent.parent / "native" / "avpump.cpp"
+_CACHE = Path(
+    os.environ.get("SWTPU_NATIVE_CACHE", os.path.expanduser("~/.cache/swiftwatcher_tpu"))
+)
+_LIB_PATH = _CACHE / "libavpump.so"
+
+_lock = threading.Lock()
+_lib: Optional[ctypes.CDLL] = None
+_tried = False
+
+
+def _build() -> bool:
+    _CACHE.mkdir(parents=True, exist_ok=True)
+    tmp = _LIB_PATH.parent / f"{_LIB_PATH.name}.{os.getpid()}.tmp"
+    cmd = [
+        "g++", "-O3", "-march=native", "-shared", "-fPIC",
+        str(_SRC), "-o", str(tmp),
+        "-lavformat", "-lavcodec", "-lswscale", "-lavutil",
+    ]
+    try:
+        subprocess.run(cmd, check=True, capture_output=True, timeout=120)
+        os.replace(tmp, _LIB_PATH)
+        return True
+    except (subprocess.SubprocessError, FileNotFoundError, OSError):
+        try:
+            tmp.unlink(missing_ok=True)
+        except OSError:
+            pass
+        return False
+
+
+def _load() -> Optional[ctypes.CDLL]:
+    global _lib, _tried
+    with _lock:
+        if _lib is not None or _tried:
+            return _lib
+        _tried = True
+        stale = _LIB_PATH.exists() and (
+            _SRC.exists() and _SRC.stat().st_mtime > _LIB_PATH.stat().st_mtime
+        )
+        if not _LIB_PATH.exists() or stale:
+            if not _SRC.exists() or not _build():
+                # keep a functional stale build if the rebuild toolchain is
+                # gone (same policy as io/native.py)
+                if not (stale and _LIB_PATH.exists()):
+                    return None
+        try:
+            lib = ctypes.CDLL(str(_LIB_PATH))
+        except OSError:
+            # dlopen fails when the host lacks the FFmpeg shared libraries
+            return None
+        u8p = ctypes.POINTER(ctypes.c_uint8)
+        lib.swt_av_open.argtypes = [
+            ctypes.c_char_p, ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_double), ctypes.POINTER(ctypes.c_int),
+            ctypes.POINTER(ctypes.c_int), ctypes.c_int,
+        ]
+        lib.swt_av_open.restype = ctypes.c_void_p
+        lib.swt_av_read_bgr.argtypes = [
+            ctypes.c_void_p, u8p, ctypes.c_int, ctypes.c_int,
+            ctypes.POINTER(ctypes.c_int), ctypes.POINTER(ctypes.c_int),
+        ]
+        lib.swt_av_read_bgr.restype = ctypes.c_int
+        lib.swt_av_close.argtypes = [ctypes.c_void_p]
+        wt = getattr(lib, "swt_av_write_test", None)
+        if wt is not None:  # optional: stale cached builds may predate it
+            wt.argtypes = [
+                ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_double, ctypes.c_char_p,
+            ]
+            wt.restype = ctypes.c_int
+        _lib = lib
+        return _lib
+
+
+def is_available() -> bool:
+    return _load() is not None
+
+
+class AVReader:
+    """Sequential libav decoder for general containers (H.264/MPEG-4 MP4...).
+
+    Replaces cv2.VideoCapture's decode loop (io_video.py:142-163) with the
+    system FFmpeg using in-process frame threading.  read() returns the next
+    (H, W, 3) uint8 BGR frame, None at end-of-stream or on a decode error
+    (stream advances either way, like a failed cv2 retrieve)."""
+
+    def __init__(self, lib, handle, n_frames, fps, width, height):
+        self._lib = lib
+        self._handle = handle
+        self.n_frames = n_frames
+        self.fps = fps
+        self.width = width
+        self.height = height
+
+    @classmethod
+    def open(cls, path, n_threads: int = 0) -> Optional["AVReader"]:
+        lib = _load()
+        if lib is None:
+            return None
+        n = ctypes.c_int(0)
+        fps = ctypes.c_double(0.0)
+        w = ctypes.c_int(0)
+        h = ctypes.c_int(0)
+        handle = lib.swt_av_open(
+            str(path).encode(), ctypes.byref(n), ctypes.byref(fps),
+            ctypes.byref(w), ctypes.byref(h), n_threads,
+        )
+        if not handle:
+            return None
+        return cls(lib, handle, n.value, fps.value, w.value, h.value)
+
+    def read(self) -> Optional[np.ndarray]:
+        out = np.empty(self.height * self.width * 3, np.uint8)
+        h = ctypes.c_int(0)
+        w = ctypes.c_int(0)
+        rc = self._lib.swt_av_read_bgr(
+            self._handle,
+            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            self.height, self.width, ctypes.byref(h), ctypes.byref(w),
+        )
+        if rc != 0:
+            return None
+        return out[: h.value * w.value * 3].reshape(h.value, w.value, 3)
+
+    def close(self) -> None:
+        if self._handle:
+            self._lib.swt_av_close(self._handle)
+            self._handle = None
+
+    def __del__(self):
+        try:
+            self.close()
+        except Exception:
+            pass
+
+
+def write_test_video(path, frames: np.ndarray, fps: float = 25.0,
+                     codec: str = "libx264") -> bool:
+    """Encode (N, H, W, 3) uint8 BGR frames into an MP4 via a SYSTEM
+    encoder.  Test-fixture generator: the cv2 wheel's bundled FFmpeg ships
+    no H.264 encoder, so H.264 parity tests fabricate their streams here."""
+    lib = _load()
+    if lib is None or getattr(lib, "swt_av_write_test", None) is None:
+        return False
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    rc = lib.swt_av_write_test(
+        str(path).encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, float(fps), codec.encode(),
+    )
+    return rc == 0
+
+
+def probe_bgr_parity(path, n_probe: int = 3) -> Optional["AVReader"]:
+    """Open `path` natively and prove byte-exact BGR parity vs cv2 on the
+    first `n_probe` frames.  Returns a FRESH AVReader positioned at frame 0
+    when parity holds (and fps/frame-count metadata agrees), else None.
+
+    The probe decodes through BOTH FFmpeg builds (system + cv2's bundled
+    one); any divergence in decode or YUV->BGR rounding disables the native
+    backend for this file, so engagement is always parity-safe — the same
+    policy parallel_decode applies to seek accuracy."""
+    rd = AVReader.open(path)
+    if rd is None:
+        return None
+    try:
+        import cv2
+
+        cap = cv2.VideoCapture(str(path))
+        if not cap.isOpened():
+            cap.release()
+            return None
+        try:
+            cv_fps = float(cap.get(cv2.CAP_PROP_FPS))
+            cv_n = int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+            if cv_n != rd.n_frames or abs(cv_fps - rd.fps) > 1e-6 * max(cv_fps, 1.0):
+                return None
+            for _ in range(n_probe):
+                ok, ref = cap.read()
+                mine = rd.read()
+                if not ok:
+                    # container shorter than the probe: require agreement
+                    if mine is not None:
+                        return None
+                    break
+                if mine is None or not np.array_equal(ref, mine):
+                    return None
+        finally:
+            cap.release()
+    finally:
+        rd.close()
+    return AVReader.open(path)

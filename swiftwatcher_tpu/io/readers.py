@@ -249,6 +249,11 @@ class VideoFileSource(FrameSource):
                 engages after a probe proves the container's seek is
                 frame-accurate, and it upgrades supports_seek (checkpoint
                 resume works on such files).
+      av:       general containers through the system FFmpeg libraries with
+                in-process frame threading (native/avpump.cpp) — covers
+                hosts where parallel cannot engage (one core, or seek not
+                frame-accurate); only engages after a probe proves
+                byte-exact BGR parity against cv2 on this file.
       cv2:      the reference-exact sequential fallback.
     """
 
@@ -266,6 +271,7 @@ class VideoFileSource(FrameSource):
         self.backend = "cv2"
         self._avi = None
         self._pdec = None
+        self._avrd = None
         if backend in ("auto", "native"):
             from . import native
 
@@ -320,16 +326,31 @@ class VideoFileSource(FrameSource):
                         f"{filepath}: seek is not frame-accurate on this "
                         "container; parallel decode would corrupt frames"
                     )
+            if self.backend == "cv2" and backend in ("auto", "av"):
+                from . import native_av
+
+                self._avrd = native_av.probe_bgr_parity(filepath)
+                if self._avrd is not None:
+                    self._cap.release()
+                    self._cap = None
+                    self.backend = "av"
+                    self._current = self._avrd.read()  # prime frame 0
+                elif backend == "av":
+                    raise ValueError(
+                        f"{filepath}: native libav decode unavailable or "
+                        "not byte-exact vs cv2 on this file"
+                    )
             if self.backend == "cv2":
                 self._cap.grab()  # prime so retrieve() works for frame 0
         self.next_frame_number = self.start_frame
         self.total_frames = self.end_frame - self.start_frame
 
     def read_frame(self, frame_number: int, increment: bool = True):
-        if self.backend == "native":
+        if self.backend in ("native", "av"):
             frame = self._current
             if increment:
-                self._current = self._avi.read()
+                rd = self._avi if self.backend == "native" else self._avrd
+                self._current = rd.read()
                 self.next_frame_number += 1
             return frame
         if self.backend == "parallel":
@@ -355,6 +376,8 @@ class VideoFileSource(FrameSource):
     def close(self):
         if self._pdec is not None:
             self._pdec.close()
+        if self._avrd is not None:
+            self._avrd.close()
 
     def __del__(self):
         try:

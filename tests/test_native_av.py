@@ -1,0 +1,124 @@
+"""Native libav container decode (native/avpump.cpp + io/native_av.py).
+
+Parity contract: the av backend only ever engages after probe_bgr_parity
+proves byte-exact BGR equality against cv2 on the target file, so these
+tests assert the full contract on both of the reference's real container
+codecs — H.264 (fabricated through the system libx264; cv2's bundled FFmpeg
+ships no H.264 encoder) and MPEG-4 part 2 (cv2 VideoWriter) — including
+stream-end agreement and the inclusive-end duplicate-frame quirk
+(io_video.py:40,51-53).  This rig exposes one core; the frame-threading
+speedup claim is architectural (libavcodec FF_THREAD_FRAME)."""
+
+from pathlib import Path
+
+import numpy as np
+import pytest
+
+cv2 = pytest.importorskip("cv2")
+
+from swiftwatcher_tpu.io import native_av
+from swiftwatcher_tpu.io.readers import VideoFileSource
+from swiftwatcher_tpu.io.synthetic import make_video
+
+if not native_av.is_available():
+    pytest.skip("libav native decoder unavailable", allow_module_level=True)
+
+
+@pytest.fixture(scope="module")
+def clips(tmp_path_factory):
+    """{codec: (path, frames)} for every codec this host can encode."""
+    video = make_video(seed=3, n_frames=48, n_entering=2, n_crossing=1)
+    d = tmp_path_factory.mktemp("avdec")
+    out = {}
+    p = d / "clip_mp4v.mp4"
+    w = cv2.VideoWriter(
+        str(p), cv2.VideoWriter_fourcc(*"mp4v"), video.fps,
+        (video.frames.shape[2], video.frames.shape[1]),
+    )
+    assert w.isOpened()
+    for f in video.frames:
+        w.write(f)
+    w.release()
+    out["mp4v"] = (p, video.frames)
+    p = d / "clip_h264.mp4"
+    if native_av.write_test_video(p, video.frames, fps=video.fps, codec="libx264"):
+        out["h264"] = (p, video.frames)
+    return out
+
+
+@pytest.fixture(params=["mp4v", "h264"])
+def clip(request, clips):
+    if request.param not in clips:
+        pytest.skip(f"no encoder for {request.param} on this host")
+    return clips[request.param]
+
+
+def test_probe_engages_and_full_stream_parity(clip):
+    path, _ = clip
+    rd = native_av.probe_bgr_parity(path)
+    assert rd is not None
+    cap = cv2.VideoCapture(str(path))
+    try:
+        assert rd.n_frames == int(cap.get(cv2.CAP_PROP_FRAME_COUNT))
+        assert rd.fps == pytest.approx(cap.get(cv2.CAP_PROP_FPS), rel=1e-9)
+        n = 0
+        while True:
+            ok, ref = cap.read()
+            mine = rd.read()
+            if not ok:
+                # the native stream must end exactly where cv2's does
+                assert mine is None
+                break
+            assert mine is not None and np.array_equal(ref, mine)
+            n += 1
+        assert n == rd.n_frames
+    finally:
+        rd.close()
+        cap.release()
+
+
+def test_reader_windows_match_cv2_backend(clip):
+    path, frames = clip
+    s_av = VideoFileSource(path)
+    s_cv = VideoFileSource(path, backend="cv2")
+    try:
+        assert s_av.backend == "av"
+        assert s_av.total_frames == s_cv.total_frames == len(frames)
+        # one past the end: crosses the inclusive-end duplicate read
+        fa, na, ta = s_av.get_window(len(frames) + 1)
+        fc, nc, tc = s_cv.get_window(len(frames) + 1)
+        assert na == nc and ta == tc
+        for a, c in zip(fa, fc):
+            assert np.array_equal(a, c)
+        assert s_av.read_errors == s_cv.read_errors == 1
+        # duplicate tail: last two frames identical (last-good substitution)
+        assert np.array_equal(fa[-1], fa[-2])
+    finally:
+        s_av.close()
+        s_cv.close()
+
+
+def test_forced_av_backend_rejects_unparseable(tmp_path):
+    bogus = tmp_path / "noise.mp4"
+    bogus.write_bytes(b"\x00" * 4096)
+    with pytest.raises((ValueError, RuntimeError)):
+        VideoFileSource(bogus, backend="av")
+
+
+def test_h264_fixture_metadata_exact(clips):
+    """The fabricated H.264 stream must be clean: container frame count ==
+    decodable frames and exact fps (regressions here produced a 0-duration
+    final sample -> 39/40 frames and avg_frame_rate 1000/39)."""
+    if "h264" not in clips:
+        pytest.skip("no libx264 on this host")
+    path, frames = clips["h264"]
+    rd = native_av.AVReader.open(path)
+    try:
+        assert rd.n_frames == len(frames)
+        assert rd.fps == pytest.approx(30.0, rel=1e-9)  # make_video default
+        n = 0
+        while rd.read() is not None:
+            n += 1
+        assert n == len(frames)
+    finally:
+        rd.close()

@@ -229,11 +229,16 @@ def test_checkpoint_resume_on_parallel_mp4(mp4, tmp_path):
     assert len(resumed.events) == len(full.events)
 
 
-def test_sequential_source_unaffected_on_one_core(mp4, monkeypatch):
-    """auto backend with one visible core keeps the reference-exact
-    sequential path (no probe, no workers)."""
+def test_sequential_source_on_one_core(mp4, monkeypatch):
+    """auto backend with one visible core never engages parallel workers;
+    it stays strictly sequential — the parity-probed native libav decoder
+    when available, else the reference-exact cv2 path."""
     p, _ = mp4
     monkeypatch.setenv("SWTPU_DECODE_WORKERS", "1")
     src = VideoFileSource(p, backend="auto")
-    assert src.backend == "cv2"
+    from swiftwatcher_tpu.io import native_av
+
+    expected = "av" if native_av.probe_bgr_parity(p) is not None else "cv2"
+    assert src.backend == expected
     assert not src.supports_seek
+    src.close()
