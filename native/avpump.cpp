@@ -20,11 +20,13 @@
 #include <cmath>
 #include <cstdint>
 #include <cstring>
+#include <vector>
 
 extern "C" {
 #include <libavcodec/avcodec.h>
 #include <libavformat/avformat.h>
 #include <libavutil/imgutils.h>
+#include <libavutil/pixdesc.h>
 #include <libswscale/swscale.h>
 }
 
@@ -33,18 +35,26 @@ namespace {
 struct AvPump {
   AVFormatContext *fmt = nullptr;
   AVCodecContext *dec = nullptr;
-  SwsContext *sws = nullptr;
+  SwsContext *sws = nullptr;        // full-frame -> BGR24
+  SwsContext *sws_slice = nullptr;  // crop-rows slice -> BGR24
+  int sws_slice_h = 0;
   AVPacket *pkt = nullptr;
   AVFrame *frame = nullptr;
+  std::vector<uint8_t> slice_bgr;   // scratch for gray-crop reads
   int stream_index = -1;
   int width = 0, height = 0;
   AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
+  AVPixelFormat slice_src_fmt = AV_PIX_FMT_NONE;
+  AVRational fps_q = {0, 1};
+  int64_t start_ts = 0;             // stream start time (stream time_base)
   bool draining = false;  // EOF reached on the demuxer; flushing the decoder
+  bool pending = false;   // p->frame holds a decoded frame not yet consumed
 };
 
 void pump_free(AvPump *p) {
   if (!p) return;
   if (p->sws) sws_freeContext(p->sws);
+  if (p->sws_slice) sws_freeContext(p->sws_slice);
   if (p->frame) av_frame_free(&p->frame);
   if (p->pkt) av_packet_free(&p->pkt);
   if (p->dec) avcodec_free_context(&p->dec);
@@ -52,12 +62,69 @@ void pump_free(AvPump *p) {
   delete p;
 }
 
+// Advance to the next decoded frame in p->frame (not yet converted).
+// Returns 0 on success, 1 at end of stream, -1 on decode error.
+int decode_next(AvPump *p) {
+  while (true) {
+    int rc = avcodec_receive_frame(p->dec, p->frame);
+    if (rc == 0) return 0;
+    if (rc == AVERROR_EOF) return 1;
+    if (rc != AVERROR(EAGAIN)) return -1;
+    if (p->draining) return 1;
+    // need more input
+    while (true) {
+      rc = av_read_frame(p->fmt, p->pkt);
+      if (rc < 0) {
+        p->draining = true;
+        avcodec_send_packet(p->dec, nullptr);  // flush delayed frames
+        break;
+      }
+      if (p->pkt->stream_index != p->stream_index) {
+        av_packet_unref(p->pkt);
+        continue;
+      }
+      rc = avcodec_send_packet(p->dec, p->pkt);
+      av_packet_unref(p->pkt);
+      if (rc < 0 && rc != AVERROR(EAGAIN)) return -1;
+      break;
+    }
+  }
+}
+
+// Display index of the frame currently held in p->frame, from its
+// best-effort timestamp at the container's constant frame rate (the same
+// constant-fps assumption the reference's timestamping makes,
+// io_video.py:74-82).  Returns -1 when the stream carries no timestamps.
+int64_t frame_index(const AvPump *p) {
+  int64_t ts = p->frame->best_effort_timestamp;
+  if (ts == AV_NOPTS_VALUE || p->fps_q.num <= 0) return -1;
+  AVRational tb = p->fmt->streams[p->stream_index]->time_base;
+  return av_rescale_q_rnd(ts - p->start_ts, tb, av_inv_q(p->fps_q),
+                          AV_ROUND_NEAR_INF);
+}
+
+// cv2-matching BGR -> gray (shift-15 fixed point), one row segment.
+// Identical constants to framepump.cpp's gray_crop_one (bit-exact twin of
+// ops/color.py / cv2.cvtColor BGR2GRAY).
+inline void gray_row(const uint8_t *bgr, int n, uint8_t *out) {
+  for (int x = 0; x < n; ++x) {
+    const int b = bgr[3 * x], g = bgr[3 * x + 1], r = bgr[3 * x + 2];
+    out[x] = (uint8_t)((r * 9798 + g * 19235 + b * 3735 + (1 << 14)) >> 15);
+  }
+}
+
 // cv2's CvCapture_FFMPEG::get_fps(): avg_frame_rate, falling back to
 // av_guess_frame_rate when the container does not record an average.
+AVRational stream_fps_q(AVFormatContext *fmt, AVStream *st) {
+  AVRational q = st->avg_frame_rate;
+  if (q.num <= 0 || q.den <= 0) q = av_guess_frame_rate(fmt, st, nullptr);
+  if (q.num <= 0 || q.den <= 0) q = {0, 1};
+  return q;
+}
+
 double stream_fps(AVFormatContext *fmt, AVStream *st) {
-  double fps = av_q2d(st->avg_frame_rate);
-  if (!(fps > 0.0) || !std::isfinite(fps))
-    fps = av_q2d(av_guess_frame_rate(fmt, st, nullptr));
+  AVRational q = stream_fps_q(fmt, st);
+  double fps = q.num > 0 ? av_q2d(q) : 0.0;
   if (!(fps > 0.0) || !std::isfinite(fps)) fps = 0.0;
   return fps;
 }
@@ -124,6 +191,8 @@ void *swt_av_open(const char *path, int *n_frames, double *fps, int *width,
   }
   p->width = st->codecpar->width;
   p->height = st->codecpar->height;
+  p->fps_q = stream_fps_q(p->fmt, st);
+  p->start_ts = st->start_time == AV_NOPTS_VALUE ? 0 : st->start_time;
   double f = stream_fps(p->fmt, st);
   *fps = f;
   *n_frames = (int)stream_nframes(p->fmt, st, f);
@@ -144,30 +213,11 @@ int swt_av_read_bgr(void *handle, uint8_t *out, int max_h, int max_w,
                     int *out_h, int *out_w) {
   AvPump *p = (AvPump *)handle;
   if (!p) return 1;
-  while (true) {
-    int rc = avcodec_receive_frame(p->dec, p->frame);
-    if (rc == 0) break;
-    if (rc == AVERROR_EOF) return 1;
-    if (rc != AVERROR(EAGAIN)) return -1;
-    if (p->draining) return 1;
-    // need more input
-    while (true) {
-      rc = av_read_frame(p->fmt, p->pkt);
-      if (rc < 0) {
-        p->draining = true;
-        avcodec_send_packet(p->dec, nullptr);  // flush delayed frames
-        break;
-      }
-      if (p->pkt->stream_index != p->stream_index) {
-        av_packet_unref(p->pkt);
-        continue;
-      }
-      rc = avcodec_send_packet(p->dec, p->pkt);
-      av_packet_unref(p->pkt);
-      if (rc < 0 && rc != AVERROR(EAGAIN)) return -1;
-      break;
-    }
+  if (!p->pending) {
+    int rc = decode_next(p);
+    if (rc != 0) return rc;
   }
+  p->pending = false;
   int w = p->frame->width, h = p->frame->height;
   if (w > max_w || h > max_h) {
     av_frame_unref(p->frame);
@@ -198,6 +248,136 @@ int swt_av_read_bgr(void *handle, uint8_t *out, int max_h, int max_w,
 }
 
 void swt_av_close(void *handle) { pump_free((AvPump *)handle); }
+
+// Position the stream so the NEXT read returns display frame `target`
+// (0-based).  Keyframe-seek + decode-forward: av_seek_frame lands on the
+// preceding keyframe and frames are decoded (not emitted) until the target,
+// so the emitted frame is byte-identical to a sequential decode — the same
+// mechanism cv2's CAP_PROP_POS_FRAMES uses, here timestamp-verified per
+// frame.  Returns 0 on success, 1 when target is at/past end of stream,
+// -1 when the stream's timestamps are unusable (caller keeps the backend
+// sequential-only).
+int swt_av_seek(void *handle, int64_t target) {
+  AvPump *p = (AvPump *)handle;
+  if (!p || p->fps_q.num <= 0) return -1;
+  if (target < 0) return -1;
+  AVStream *st = p->fmt->streams[p->stream_index];
+  int64_t want_ts =
+      p->start_ts +
+      av_rescale_q_rnd(target, av_inv_q(p->fps_q), st->time_base,
+                       AV_ROUND_NEAR_INF);
+  // Growing back-off margins: an imprecise container index may land the
+  // "BACKWARD" seek after the target; retry from earlier, ending with a
+  // full rewind (always correct, possibly slow).
+  const double margins_sec[] = {0.0, 1.0, 4.0, 16.0, -1.0};
+  for (double m : margins_sec) {
+    int64_t ts = want_ts;
+    if (m < 0.0) {
+      ts = p->start_ts == AV_NOPTS_VALUE ? 0 : p->start_ts;
+    } else if (m > 0.0) {
+      ts -= (int64_t)(m / av_q2d(st->time_base));
+      if (p->start_ts != AV_NOPTS_VALUE && ts < p->start_ts) ts = p->start_ts;
+    }
+    if (av_seek_frame(p->fmt, p->stream_index, ts, AVSEEK_FLAG_BACKWARD) < 0)
+      continue;
+    avcodec_flush_buffers(p->dec);
+    p->draining = false;
+    if (p->pending) {
+      av_frame_unref(p->frame);
+      p->pending = false;
+    }
+    bool overshoot = false;
+    while (true) {
+      int rc = decode_next(p);
+      if (rc == 1) return 1;   // target at/past end of stream
+      if (rc == -1) return -1;
+      int64_t idx = frame_index(p);
+      if (idx < 0) {
+        av_frame_unref(p->frame);
+        return -1;             // no usable timestamps
+      }
+      if (idx == target) {
+        p->pending = true;     // hold for the next read
+        return 0;
+      }
+      av_frame_unref(p->frame);
+      if (idx > target) {      // landed past it: widen the margin
+        overshoot = true;
+        break;
+      }
+    }
+    if (!overshoot) return -1;
+  }
+  return -1;
+}
+
+// Decode the next frame straight to a cropped grayscale patch: YUV->BGR
+// conversion runs only over the crop's rows (chroma-aligned slice) and the
+// shift-15 gray only over the crop's columns, skipping the full-frame BGR
+// materialization entirely — the host-side analogue of keeping only the
+// chimney crop resident on device.  out receives (y2-y1, x2-x1) uint8,
+// bit-identical to gray(full BGR read)[y1:y2, x1:x2] (the caller PROBES
+// that equality per file before engaging).  Same 0/1/-1 contract as
+// swt_av_read_bgr.
+int swt_av_read_gray_crop(void *handle, int y1, int y2, int x1, int x2,
+                          uint8_t *out) {
+  AvPump *p = (AvPump *)handle;
+  if (!p) return 1;
+  if (!p->pending) {
+    int rc = decode_next(p);
+    if (rc != 0) return rc;
+  }
+  p->pending = false;
+  int w = p->frame->width, h = p->frame->height;
+  AVPixelFormat src_fmt = (AVPixelFormat)p->frame->format;
+  const AVPixFmtDescriptor *desc = av_pix_fmt_desc_get(src_fmt);
+  if (!desc || y1 < 0 || y2 > h || x1 < 0 || x2 > w || y1 >= y2 || x1 >= x2) {
+    av_frame_unref(p->frame);
+    return -1;
+  }
+  // Align the slice start DOWN and the end UP to chroma row boundaries so
+  // subsampled planes slice cleanly (e.g. yuv420p: even rows) AND the slice
+  // height stays chroma-even: an odd-height context falls off swscale's
+  // unscaled fast path into the scaler (bilinear chroma), which is not
+  // byte-identical to the full-frame conversion (measured: every odd-hs
+  // crop diverged, every even-hs crop matched).
+  const int align = 1 << desc->log2_chroma_h;
+  const int y1e = y1 & ~(align - 1);
+  const int y2e = h < ((y2 + align - 1) & ~(align - 1))
+                      ? h
+                      : ((y2 + align - 1) & ~(align - 1));
+  const int hs = y2e - y1e;
+  if (!p->sws_slice || p->slice_src_fmt != src_fmt || p->sws_slice_h != hs) {
+    if (p->sws_slice) sws_freeContext(p->sws_slice);
+    p->sws_slice = sws_getContext(w, hs, src_fmt, w, hs, AV_PIX_FMT_BGR24,
+                                  SWS_BICUBIC, nullptr, nullptr, nullptr);
+    p->slice_src_fmt = src_fmt;
+    p->sws_slice_h = hs;
+    if (!p->sws_slice) {
+      av_frame_unref(p->frame);
+      return -1;
+    }
+  }
+  // Offset each plane's pointer to the slice start; planes 1/2 are the
+  // (vertically subsampled) chroma planes, everything else is full height.
+  const uint8_t *src_data[4] = {nullptr, nullptr, nullptr, nullptr};
+  for (int i = 0; i < 4 && p->frame->data[i]; ++i) {
+    const int shift = (i == 1 || i == 2) ? desc->log2_chroma_h : 0;
+    src_data[i] = p->frame->data[i] +
+                  (ptrdiff_t)(y1e >> shift) * p->frame->linesize[i];
+  }
+  p->slice_bgr.resize((size_t)hs * w * 3);
+  uint8_t *dst_data[4] = {p->slice_bgr.data(), nullptr, nullptr, nullptr};
+  int dst_stride[4] = {w * 3, 0, 0, 0};
+  sws_scale(p->sws_slice, src_data, p->frame->linesize, 0, hs, dst_data,
+            dst_stride);
+  av_frame_unref(p->frame);
+  const int cw = x2 - x1;
+  for (int y = y1; y < y2; ++y)
+    gray_row(p->slice_bgr.data() + ((size_t)(y - y1e) * w + x1) * 3, cw,
+             out + (size_t)(y - y1) * cw);
+  return 0;
+}
 
 // Encode `n` packed-BGR24 frames into an MP4 at `path` using the named
 // system encoder ("libx264", "mpeg4", ...).  Fixture generator for parity

@@ -156,6 +156,12 @@ class PipelineConfig:
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
     # IDCT may differ from cv2's bundled build by +-1 count per pixel.
     native_decode: bool = False
+    # Decode containers straight to the grayscale chimney crop through the
+    # native libav backend (avpump.cpp slice conversion; no full-frame
+    # BGR).  Default ON because engagement is probe-gated BIT-EXACT against
+    # the full-frame path per file and geometry — unlike the HDF5 libjpeg
+    # path above, there is no decoder-build ambiguity to opt into.
+    av_gray_decode: bool = True
     # ----- wire transport (io/wirecodec.py) ---------------------------------
     # Host->device transport for the gray window batches: "off" ships raw
     # uint8; "delta6" (wire codec v2) ships bit-lossless predictive base-6

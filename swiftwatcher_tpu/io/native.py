@@ -191,6 +191,9 @@ class AVIReader:
         self.fps = fps
         self.width = width
         self.height = height
+        # serializes read() against close(): freeing the native handle
+        # under a prefetcher thread's running read is a segfault
+        self._rw_lock = threading.Lock()
 
     @classmethod
     def open(cls, path) -> Optional["AVIReader"]:
@@ -217,18 +220,22 @@ class AVIReader:
         out = np.empty(max_h * max_w * 3, np.uint8)
         h = ctypes.c_int(0)
         w = ctypes.c_int(0)
-        rc = self._lib.swt_avi_read_bgr(
-            self._handle, _u8ptr(out), max_h, max_w,
-            ctypes.byref(h), ctypes.byref(w),
-        )
+        with self._rw_lock:
+            if not self._handle:
+                return None
+            rc = self._lib.swt_avi_read_bgr(
+                self._handle, _u8ptr(out), max_h, max_w,
+                ctypes.byref(h), ctypes.byref(w),
+            )
         if rc != 0:
             return None
         return out[: h.value * w.value * 3].reshape(h.value, w.value, 3).copy()
 
     def close(self) -> None:
-        if self._handle:
-            self._lib.swt_avi_close(self._handle)
-            self._handle = None
+        with self._rw_lock:
+            if self._handle:
+                self._lib.swt_avi_close(self._handle)
+                self._handle = None
 
     def __del__(self):
         try:

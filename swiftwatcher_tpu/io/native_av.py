@@ -87,6 +87,17 @@ def _load() -> Optional[ctypes.CDLL]:
         ]
         lib.swt_av_read_bgr.restype = ctypes.c_int
         lib.swt_av_close.argtypes = [ctypes.c_void_p]
+        sk = getattr(lib, "swt_av_seek", None)
+        if sk is not None:  # optional: stale cached builds may predate it
+            sk.argtypes = [ctypes.c_void_p, ctypes.c_int64]
+            sk.restype = ctypes.c_int
+        gc = getattr(lib, "swt_av_read_gray_crop", None)
+        if gc is not None:
+            gc.argtypes = [
+                ctypes.c_void_p, ctypes.c_int, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, u8p,
+            ]
+            gc.restype = ctypes.c_int
         wt = getattr(lib, "swt_av_write_test", None)
         if wt is not None:  # optional: stale cached builds may predate it
             wt.argtypes = [
@@ -117,6 +128,10 @@ class AVReader:
         self.fps = fps
         self.width = width
         self.height = height
+        # serializes reads/seeks against close(): the prefetcher thread may
+        # still be mid-read when the owner closes the source — freeing the
+        # native handle under a running swt_av_* call is a segfault
+        self._rw_lock = threading.Lock()
 
     @classmethod
     def open(cls, path, n_threads: int = 0) -> Optional["AVReader"]:
@@ -139,19 +154,53 @@ class AVReader:
         out = np.empty(self.height * self.width * 3, np.uint8)
         h = ctypes.c_int(0)
         w = ctypes.c_int(0)
-        rc = self._lib.swt_av_read_bgr(
-            self._handle,
-            out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
-            self.height, self.width, ctypes.byref(h), ctypes.byref(w),
-        )
+        with self._rw_lock:
+            if not self._handle:
+                return None
+            rc = self._lib.swt_av_read_bgr(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+                self.height, self.width, ctypes.byref(h), ctypes.byref(w),
+            )
         if rc != 0:
             return None
         return out[: h.value * w.value * 3].reshape(h.value, w.value, 3)
 
+    def seek(self, frame_number: int) -> bool:
+        """Position so the next read returns `frame_number` (keyframe seek +
+        decode-forward, byte-identical to sequential decode).  False when
+        the library predates seek, the stream's timestamps are unusable, or
+        the target is at/past end of stream."""
+        if getattr(self._lib, "swt_av_seek", None) is None:
+            return False
+        with self._rw_lock:
+            if not self._handle:
+                return False
+            return self._lib.swt_av_seek(self._handle, int(frame_number)) == 0
+
+    def read_gray_crop(self, crop_region) -> Optional[np.ndarray]:
+        """Next frame as the (y2-y1, x2-x1) uint8 grayscale chimney crop,
+        converting only the crop's rows (no full-frame BGR); None at end of
+        stream or on decode error.  Callers must have verified bit-equality
+        with the BGR path via probe_gray_crop_parity for this geometry."""
+        if getattr(self._lib, "swt_av_read_gray_crop", None) is None:
+            return None
+        (x1, y1), (x2, y2) = crop_region
+        out = np.empty((y2 - y1, x2 - x1), np.uint8)
+        with self._rw_lock:
+            if not self._handle:
+                return None
+            rc = self._lib.swt_av_read_gray_crop(
+                self._handle, y1, y2, x1, x2,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+            )
+        return out if rc == 0 else None
+
     def close(self) -> None:
-        if self._handle:
-            self._lib.swt_av_close(self._handle)
-            self._handle = None
+        with self._rw_lock:
+            if self._handle:
+                self._lib.swt_av_close(self._handle)
+                self._handle = None
 
     def __del__(self):
         try:
@@ -176,6 +225,80 @@ def write_test_video(path, frames: np.ndarray, fps: float = 25.0,
         n, h, w, float(fps), codec.encode(),
     )
     return rc == 0
+
+
+def probe_native_seek(path, n_probe: int = 12, seek_at: int = 8) -> bool:
+    """True when AVReader.seek reproduces sequential decode byte-for-byte
+    on this file.  Same two probe families as parallel_decode's
+    probe_seek_accuracy: head (seek-vs-sequential truth) and, via origin
+    consistency, a deep leg at 50%/90% of the stream."""
+    rd = AVReader.open(path)
+    if rd is None:
+        return False
+    try:
+        seq = [rd.read() for _ in range(n_probe)]
+        if seq[0] is None or seek_at >= n_probe or seq[seek_at] is None:
+            return False
+        for pos in {seek_at, max(seek_at // 2, 1)}:
+            if not rd.seek(pos):
+                return False
+            got = rd.read()
+            if got is None or not np.array_equal(seq[pos], got):
+                return False
+        total = rd.n_frames
+        if total and total > 4 * n_probe:
+            back = 7
+            for frac in (0.5, 0.9):
+                tgt = min(int(total * frac), total - 1)
+                if not rd.seek(tgt):
+                    return False
+                direct = rd.read()
+                if direct is None or not rd.seek(tgt - back):
+                    return False
+                stepped = None
+                for _ in range(back + 1):
+                    stepped = rd.read()
+                    if stepped is None:
+                        return False
+                if not np.array_equal(direct, stepped):
+                    return False
+        return True
+    finally:
+        rd.close()
+
+
+def probe_gray_crop_parity(path, crop_region, n_probe: int = 2) -> bool:
+    """True when read_gray_crop equals gray(read BGR)[crop] byte-for-byte on
+    the first frames (swscale's slice conversion must match the full-frame
+    converter on the crop's rows — true for its unscaled planar paths, but
+    proven per file/geometry before the fast path engages)."""
+    rd_a = AVReader.open(path)
+    rd_b = AVReader.open(path)
+    if rd_a is None or rd_b is None:
+        for r in (rd_a, rd_b):
+            if r is not None:
+                r.close()
+        return False
+    try:
+        from .native import gray_crop_batch, is_available as _fp_ok
+        from ..ops.color import bgr_to_gray_host
+
+        (x1, y1), (x2, y2) = crop_region
+        for _ in range(n_probe):
+            full = rd_a.read()
+            fast = rd_b.read_gray_crop(crop_region)
+            if full is None or fast is None:
+                return False
+            if _fp_ok():
+                want = gray_crop_batch(full[None], crop_region)[0]
+            else:
+                want = bgr_to_gray_host(full[None, y1:y2, x1:x2])[0]
+            if not np.array_equal(want, fast):
+                return False
+        return True
+    finally:
+        rd_a.close()
+        rd_b.close()
 
 
 def probe_bgr_parity(path, n_probe: int = 3) -> Optional["AVReader"]:

@@ -92,6 +92,16 @@ class WindowPrefetcher:
                 H, W = self._frame_hw
                 if not (0 <= self.y1 < self.y2 <= H and 0 <= self.x1 < self.x2 <= W):
                     self._encoded_mode = False  # python-slice semantics needed
+        # Direct gray-crop decode for the native libav container backend:
+        # the decoder converts only the crop's rows and emits the grayscale
+        # crop, skipping full-frame BGR entirely (probe-gated bit-exact,
+        # io/readers.py:enable_gray_crop_stream).
+        self._gray_mode = bool(
+            cfg.av_gray_decode
+            and not keep_frames
+            and hasattr(source, "enable_gray_crop_stream")
+            and source.enable_gray_crop_stream(crop_region)
+        )
         # Wire codec state (io/wirecodec.py): "delta6"/"delta4" encode every
         # batch; "auto" probes the host link with small dummy transfers and
         # enables the codec (delta6, the denser v2 format) only on slow
@@ -157,6 +167,13 @@ class WindowPrefetcher:
                         self.source.read_errors += 1
                         if self._last_good_crop is not None:
                             gray[i] = self._last_good_crop
+                wins.append((None, numbers, stamps, gray))
+                self._planned += sum(1 for n in numbers if n >= 0)
+                continue
+            if self._gray_mode:
+                gray, numbers, stamps = self.source.get_gray_crop_window(
+                    cfg.window_size
+                )
                 wins.append((None, numbers, stamps, gray))
                 self._planned += sum(1 for n in numbers if n >= 0)
                 continue
@@ -245,4 +262,7 @@ class WindowPrefetcher:
         return fut.result()
 
     def close(self):
-        self._ex.shutdown(wait=False, cancel_futures=True)
+        # wait=True: an in-flight _produce may still be reading from the
+        # source; returning before it finishes lets the caller close the
+        # source (freeing a native decoder handle) under the worker's feet
+        self._ex.shutdown(wait=True, cancel_futures=True)

@@ -272,6 +272,10 @@ class VideoFileSource(FrameSource):
         self._avi = None
         self._pdec = None
         self._avrd = None
+        self._pos = 0            # frame number held in self._current (av)
+        self._gray_crop = None   # crop region once the gray stream engages
+        self._gray_current = None
+        self._last_good_gray = None
         if backend in ("auto", "native"):
             from . import native
 
@@ -335,6 +339,12 @@ class VideoFileSource(FrameSource):
                     self._cap = None
                     self.backend = "av"
                     self._current = self._avrd.read()  # prime frame 0
+                    # keyframe-seek + decode-forward is byte-identical to
+                    # sequential decode when the probe passes -> checkpoint
+                    # resume works on ANY container here, even one-core
+                    # hosts where the parallel backend can't engage
+                    if native_av.probe_native_seek(filepath):
+                        self.supports_seek = True
                 elif backend == "av":
                     raise ValueError(
                         f"{filepath}: native libav decode unavailable or "
@@ -347,10 +357,23 @@ class VideoFileSource(FrameSource):
 
     def read_frame(self, frame_number: int, increment: bool = True):
         if self.backend in ("native", "av"):
+            if (
+                self.backend == "av"
+                and frame_number != self._pos
+                and self.supports_seek
+            ):
+                # non-sequential access (checkpoint resume): re-aim via the
+                # probed keyframe-seek; a seek at/past end of stream yields
+                # None -> the base class's decode-failure substitution
+                self._current = (
+                    self._avrd.read() if self._avrd.seek(frame_number) else None
+                )
+                self._pos = frame_number
             frame = self._current
             if increment:
                 rd = self._avi if self.backend == "native" else self._avrd
                 self._current = rd.read()
+                self._pos += 1
                 self.next_frame_number += 1
             return frame
         if self.backend == "parallel":
@@ -372,6 +395,93 @@ class VideoFileSource(FrameSource):
             self._cap.grab()
             self.next_frame_number += 1
         return frame
+
+    def enable_gray_crop_stream(self, crop_region) -> bool:
+        """Switch the av backend to DIRECT gray-crop decode: the native
+        layer converts only the crop's rows to BGR and emits the shift-15
+        grayscale crop, never materializing full BGR frames (avpump.cpp
+        swt_av_read_gray_crop).  Probe-gated on byte equality with the
+        full-frame path for this exact geometry; returns False (and changes
+        nothing) when the backend, bounds, or parity don't allow it.  Call
+        before any window is consumed; afterwards read windows exclusively
+        through get_gray_crop_window."""
+        if self.backend != "av" or self._gray_crop is not None:
+            return self._gray_crop == crop_region
+        from . import native_av
+
+        H, W = (
+            self._current.shape[:2]
+            if self._current is not None
+            else (self._avrd.height, self._avrd.width)
+        )
+        (x1, y1), (x2, y2) = crop_region
+        if not (0 <= y1 < y2 <= H and 0 <= x1 < x2 <= W):
+            return False  # python-slice semantics needed for OOB crops
+        if not native_av.probe_gray_crop_parity(self.filepath, crop_region):
+            return False
+        self._gray_crop = crop_region
+        # frame 0 was primed as full BGR at open; express it as a gray crop
+        # (bit-identical: same conversion the BGR path would apply)
+        if self._current is not None:
+            from . import native as _native_mod
+
+            if _native_mod.is_available():
+                self._gray_current = _native_mod.gray_crop_batch(
+                    self._current[None], crop_region
+                )[0]
+            else:
+                from ..ops.color import bgr_to_gray_host
+
+                self._gray_current = bgr_to_gray_host(
+                    self._current[None, y1:y2, x1:x2]
+                )[0]
+        else:
+            self._gray_current = None
+        return True
+
+    def get_gray_crop_window(self, n: int):
+        """get_window at the gray-crop level (enable_gray_crop_stream
+        first): identical null-frame / decode-failure / inclusive-end
+        semantics applied one stage later, like HDF5Source's
+        get_encoded_window.  Returns ((n, ch, cw) uint8, numbers, stamps)."""
+        crop = self._gray_crop
+        (x1, y1), (x2, y2) = crop
+        ch, cw = y2 - y1, x2 - x1
+        crops, numbers, stamps = [], [], []
+        for _ in range(n):
+            fn = self.next_frame_number
+            if not self.start_frame <= fn <= self.end_frame:
+                crops.append(np.zeros((ch, cw), np.uint8))
+                numbers.append(-1)
+                stamps.append(NULL_TIMESTAMP)
+                continue
+            if fn != self._pos:
+                # non-sequential (checkpoint resume): re-aim the stream
+                ok = self.supports_seek and self._avrd.seek(fn)
+                self._gray_current = (
+                    self._avrd.read_gray_crop(crop) if ok else None
+                )
+                self._pos = fn
+            g = self._gray_current
+            self._gray_current = self._avrd.read_gray_crop(crop)
+            self._pos += 1
+            self.next_frame_number += 1
+            if g is None:
+                # decode failure: substitute the last good crop and count
+                # the error (io_video.py:51-53, at the gray level)
+                self.read_errors += 1
+                g = self._last_good_gray
+            else:
+                self.frames_read += 1
+                self._last_good_gray = g
+            if g is None:
+                # failure before any successful read: zero frame, same as
+                # get_window's geometry fallback
+                g = np.zeros((ch, cw), np.uint8)
+            crops.append(g)
+            numbers.append(fn)
+            stamps.append(frame_timestamp(fn, self.fps))
+        return np.stack(crops), numbers, stamps
 
     def close(self):
         if self._pdec is not None:

@@ -105,6 +105,133 @@ def test_forced_av_backend_rejects_unparseable(tmp_path):
         VideoFileSource(bogus, backend="av")
 
 
+def test_native_seek_matches_sequential(clip):
+    """Keyframe-seek + decode-forward must reproduce sequential decode
+    byte-for-byte (that's what upgrades supports_seek -> checkpoint resume
+    on any container, io/readers.py)."""
+    path, frames = clip
+    assert native_av.probe_native_seek(path)
+    rd = native_av.AVReader.open(path)
+    try:
+        seq = []
+        while True:
+            f = rd.read()
+            if f is None:
+                break
+            seq.append(f)
+        for target in (0, 7, len(seq) - 1, 3, len(seq) // 2):
+            assert rd.seek(target)
+            got = rd.read()
+            assert got is not None and np.array_equal(seq[target], got)
+        # past-EOF seek reports end-of-stream, not garbage
+        assert not rd.seek(len(seq) + 5)
+    finally:
+        rd.close()
+
+
+def test_gray_crop_read_bit_exact(clip):
+    """Direct gray-crop decode == gray(full BGR)[crop] on EVERY frame, on a
+    deliberately awkward geometry (odd y1/y2: regression for the odd-height
+    swscale slice falling off the unscaled fast path)."""
+    from swiftwatcher_tpu.io import native as fp
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+    path, frames = clip
+    H, W = frames.shape[1:3]
+    crop = ((5, 7), (W - 5, H - 7))
+    assert native_av.probe_gray_crop_parity(path, crop)
+    rd_a = native_av.AVReader.open(path)
+    rd_b = native_av.AVReader.open(path)
+    try:
+        n = 0
+        while True:
+            full = rd_a.read()
+            fast = rd_b.read_gray_crop(crop)
+            if full is None:
+                assert fast is None
+                break
+            (x1, y1), (x2, y2) = crop
+            if fp.is_available():
+                want = fp.gray_crop_batch(full[None], crop)[0]
+            else:
+                want = bgr_to_gray_host(full[None, y1:y2, x1:x2])[0]
+            assert np.array_equal(want, fast)
+            n += 1
+        assert n == len(frames)
+    finally:
+        rd_a.close()
+        rd_b.close()
+
+
+def test_gray_crop_window_matches_cv2_reader(clip):
+    """Source-level gray windows (enable_gray_crop_stream +
+    get_gray_crop_window) == cv2 backend's get_window + host gray — same
+    numbers/timestamps, same inclusive-end duplicate, same null tail."""
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+    path, frames = clip
+    H, W = frames.shape[1:3]
+    crop = ((4, 3), (W - 4, H - 3))
+    (x1, y1), (x2, y2) = crop
+    s_av = VideoFileSource(path)
+    s_cv = VideoFileSource(path, backend="cv2")
+    try:
+        assert s_av.enable_gray_crop_stream(crop)
+        n = len(frames) + 3  # crosses inclusive-end AND null frames
+        ga, na, ta = s_av.get_gray_crop_window(n)
+        fc, nc, tc = s_cv.get_window(n)
+        gc = bgr_to_gray_host(
+            np.stack([f[y1:y2, x1:x2] for f in fc])
+        )
+        assert na == nc and ta == tc
+        assert np.array_equal(ga, gc)
+        assert s_av.read_errors == s_cv.read_errors == 1
+    finally:
+        s_av.close()
+        s_cv.close()
+
+
+def test_av_checkpoint_resume_equals_full(clips, tmp_path, monkeypatch):
+    """Interrupted run resumed through the av backend's seek == full run
+    (the capability parallel decode provides only on multicore seekable
+    files, now available on any probed container)."""
+    import jax
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    import dataclasses
+
+    monkeypatch.setenv("SWTPU_DECODE_WORKERS", "1")  # force av over parallel
+    video = make_video(seed=5, n_frames=63, n_entering=2, n_crossing=1)
+    p = tmp_path / "resume.mp4"
+    if not native_av.write_test_video(p, video.frames, fps=video.fps):
+        pytest.skip("no libx264 on this host")
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=1)
+    src = VideoFileSource(p)
+    assert src.backend == "av" and src.supports_seek
+    full = run_video(src, video.corners, cfg, tracker_impl="device")
+    src.close()
+    # partial run (end truncated) writes a checkpoint mid-video ...
+    ck = tmp_path / "ck.npz"
+    src2 = VideoFileSource(p)
+    src2.end_frame = 42
+    src2.total_frames = 42
+    run_video(src2, video.corners, cfg, tracker_impl="device",
+              checkpoint_path=ck, checkpoint_interval_batches=1)
+    src2.close()
+    assert ck.exists()
+    # ... and the resumed full-length run seeks to frame 42 through the av
+    # backend's keyframe-seek, finishing with the full run's results
+    src3 = VideoFileSource(p)
+    resumed = run_video(src3, video.corners, cfg, tracker_impl="device",
+                        checkpoint_path=ck, checkpoint_interval_batches=1)
+    src3.close()
+    assert resumed.total_predicted == full.total_predicted
+    assert len(resumed.events) == len(full.events)
+
+
 def test_h264_fixture_metadata_exact(clips):
     """The fabricated H.264 stream must be clean: container frame count ==
     decodable frames and exact fps (regressions here produced a 0-duration
