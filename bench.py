@@ -218,6 +218,61 @@ def sharded_resident_fps(cfg, video, frames=6720):
     return _time_device_loop(run_k, batch, frames, B, T), (data, model)
 
 
+def host_decode_fps(video, cfg, passes=6):
+    """Host-side container-decode rate of the product ingest path, measured
+    on a freshly-encoded H.264 MP4 of the bench scene (the reference's real
+    capture format, io_video.py:137-165).  Times the decode core the
+    pipeline consumes: the native gray-crop slice decode when the libav
+    backend engages (avpump.cpp swt_av_read_gray_crop — converts only the
+    chimney crop's rows), else cv2 full-frame + host gray-crop (the exact
+    fallback path).  Returns (fps, backend_label) or (None, None) when no
+    H.264 encoder exists on the host.  Decode runs on host cores only —
+    on a multicore production host it overlaps device work via the
+    prefetcher, so e2e is capped by max(decode, chip), not the sum."""
+    import tempfile
+
+    from swiftwatcher_tpu.geometry import crop_region_from_corners
+    from swiftwatcher_tpu.io import native_av
+
+    crop = crop_region_from_corners(video.corners, cfg)
+    n = video.frames.shape[0]
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "decode_bench.mp4")
+        if not native_av.write_test_video(p, video.frames, fps=video.fps):
+            return None, None
+        if native_av.probe_gray_crop_parity(p, crop):
+            best = 0.0
+            for _ in range(passes):
+                rd = native_av.AVReader.open(p)
+                start = time.perf_counter()
+                k = 0
+                while rd.read_gray_crop(crop) is not None:
+                    k += 1
+                best = max(best, k / (time.perf_counter() - start))
+                rd.close()
+            assert k == n
+            return round(best, 1), "av_gray_crop"
+        import cv2
+
+        from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+        (x1, y1), (x2, y2) = crop
+        best = 0.0
+        for _ in range(passes):
+            cap = cv2.VideoCapture(p)
+            start = time.perf_counter()
+            k = 0
+            while True:
+                ok, f = cap.read()
+                if not ok:
+                    break
+                bgr_to_gray_host(f[None, y1:y2, x1:x2])
+                k += 1
+            best = max(best, k / (time.perf_counter() - start))
+            cap.release()
+        return round(best, 1), "cv2_gray_host"
+
+
 def _arm_watchdog():
     """Fail loudly instead of hanging forever when the TPU is unreachable.
 
@@ -363,6 +418,13 @@ def main():
         dataclasses.replace(cfg, batch_windows=64), video
     )
 
+    # Host-side decode rate of the real capture format (detail only: the
+    # e2e runs above read pre-decoded frames, like the reference's own
+    # benchmark configs; this publishes where decode would cap e2e on a
+    # fast-link host — nproc on THIS rig is 1, production hosts scale it
+    # by cores via the frame-threaded decoder).
+    d_fps, d_backend = host_decode_fps(video, cfg)
+
     # Host-link arithmetic for the e2e cap: publish the MEASURED bytes the
     # run actually enqueued (post wire-codec) so the "link-bound" claim is
     # checkable.  raw would ship one uint8 gray crop per frame.
@@ -418,6 +480,9 @@ def main():
                     "events": len(result.events),
                     "predicted": result.total_predicted,
                     "batch_windows": cfg.batch_windows,
+                    "host_decode_fps_1080p": d_fps,
+                    "host_decode_backend": d_backend,
+                    "host_cores": os.cpu_count(),
                     "crop_bytes_per_frame": crop_bytes,
                     "wire_bytes_per_frame": round(wire_bpf),
                     "e2e_wire_MBps": round(wire_mbps, 1),
