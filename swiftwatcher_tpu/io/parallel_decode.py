@@ -96,6 +96,60 @@ def probe_seek_accuracy(
         cap.release()
 
 
+class _Cv2Worker:
+    """Per-worker cv2 handle: full-frame BGR decode (the default mode)."""
+
+    def __init__(self, path):
+        import cv2
+
+        self._cap = cv2.VideoCapture(path)
+        self._cv2 = cv2
+
+    def seek(self, pos: int) -> bool:
+        self._cap.set(self._cv2.CAP_PROP_POS_FRAMES, pos)
+        return True
+
+    def read(self):
+        ok, frame = self._cap.read()
+        return frame if ok else None
+
+    def close(self):
+        self._cap.release()
+
+
+class _AvGrayWorker:
+    """Per-worker native libav handle decoding straight to the grayscale
+    chimney crop (avpump.cpp swt_av_read_gray_crop): converts only the
+    crop's rows, emits (ch, cw) uint8 — per-core faster than full-frame
+    cv2 AND already in the pipeline's input form.  Callers must have
+    probe-gated both the keyframe seek (probe_native_seek) and the crop
+    conversion (probe_gray_crop_parity) before engaging this mode."""
+
+    def __init__(self, path, crop_region):
+        from .native_av import AVReader
+
+        self._rd = AVReader.open(path)
+        if self._rd is None:
+            raise RuntimeError(f"{path}: native libav open failed in worker")
+        self._crop = crop_region
+
+    def seek(self, pos: int) -> bool:
+        return self._rd.seek(pos)
+
+    def read(self):
+        return self._rd.read_gray_crop(self._crop)
+
+    def close(self):
+        self._rd.close()
+
+
+def gray_crop_worker_factory(crop_region):
+    """Worker factory for ParallelDecoder that decodes straight to the
+    grayscale chimney crop (engage only after probe_native_seek AND
+    probe_gray_crop_parity pass on the file/geometry)."""
+    return lambda path: _AvGrayWorker(path, crop_region)
+
+
 class ParallelDecoder:
     """Ordered frame stream decoded by chunk-claiming worker threads."""
 
@@ -107,9 +161,11 @@ class ParallelDecoder:
         chunk: int = 16,
         max_ahead: int = 64,
         start: int = 0,
+        worker_factory=None,
     ):
         self.path = str(path)
         self.total = total_frames
+        self._worker_factory = worker_factory or _Cv2Worker
         self.chunk = max(chunk, 1)
         self.max_ahead = max(max_ahead, 2 * self.chunk)
         self._lock = threading.Lock()
@@ -145,25 +201,28 @@ class ParallelDecoder:
                 self._need.wait()
 
     def _worker(self):
-        import cv2
-
-        cap = cv2.VideoCapture(self.path)
         try:
-            pos = -1                     # capture's current frame cursor
+            rd = self._worker_factory(self.path)
+        except Exception:
+            # a reader that fails to construct must not strand the chunks
+            # this thread claims: keep claiming and publish decode failures
+            # (None frames -> the FrameSource's last-good substitution)
+            rd = None
+        try:
+            pos = -1                     # reader's current frame cursor
             while True:
                 c = self._claim()
                 if c is None:
                     return
                 lo = c * self.chunk
                 hi = min(lo + self.chunk, self.total)
-                if pos != lo:
-                    cap.set(cv2.CAP_PROP_POS_FRAMES, lo)
+                seek_ok = rd is not None and (pos == lo or rd.seek(lo))
                 out = []
-                failed = False
+                failed = not seek_ok
                 for fn in range(lo, hi):
-                    ok, frame = cap.read()
-                    failed = failed or not ok
-                    out.append((fn, frame if ok else None))
+                    frame = rd.read() if seek_ok else None
+                    failed = failed or frame is None
+                    out.append((fn, frame))
                 # A failed read does NOT advance ffmpeg's cursor: assuming
                 # pos == hi would make the next contiguous chunk skip its
                 # seek and publish every later frame shifted by the number
@@ -173,7 +232,8 @@ class ParallelDecoder:
                     self._frames.update(out)
                     self._have.notify_all()
         finally:
-            cap.release()
+            if rd is not None:
+                rd.close()
 
     # -- consumer side ------------------------------------------------------
     def get(self, frame_number: int, timeout: float = 300.0):

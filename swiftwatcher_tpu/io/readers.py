@@ -303,6 +303,10 @@ class VideoFileSource(FrameSource):
                 )
             self.fps = float(self._cap.get(cv2.CAP_PROP_FPS))
             self.start_frame = 0
+            self._frame_hw = (
+                int(self._cap.get(cv2.CAP_PROP_FRAME_HEIGHT)),
+                int(self._cap.get(cv2.CAP_PROP_FRAME_WIDTH)),
+            )
             container_frames = int(self._cap.get(cv2.CAP_PROP_FRAME_COUNT))
             self.end_frame = end if end > 0 else container_frames
             if decode_workers is None:
@@ -321,6 +325,7 @@ class VideoFileSource(FrameSource):
                     self._pdec = ParallelDecoder(
                         filepath, container_frames, n_workers=decode_workers
                     )
+                    self._n_workers = decode_workers
                     self.backend = "parallel"
                     self.supports_seek = True
                     self._p_cached = None
@@ -357,6 +362,13 @@ class VideoFileSource(FrameSource):
 
     def read_frame(self, frame_number: int, increment: bool = True):
         if self.backend in ("native", "av"):
+            # after the gray-crop stream engages, the av decoder's cursor
+            # belongs to get_gray_crop_window — interleaved full-frame
+            # reads would silently skip frames in both streams
+            assert not (self.backend == "av" and self._gray_crop is not None), (
+                "read_frame after enable_gray_crop_stream: use "
+                "get_gray_crop_window"
+            )
             if (
                 self.backend == "av"
                 and frame_number != self._pos
@@ -377,6 +389,13 @@ class VideoFileSource(FrameSource):
                 self.next_frame_number += 1
             return frame
         if self.backend == "parallel":
+            # once the gray-crop workers engage, the decoder's frames are
+            # (ch, cw) gray crops — full-frame reads would hand crops to
+            # callers expecting BGR frames
+            assert self._gray_crop is None, (
+                "read_frame after enable_gray_crop_stream: use "
+                "get_gray_crop_window"
+            )
             if frame_number == self._p_cached_fn:
                 frame = self._p_cached
             else:
@@ -404,21 +423,57 @@ class VideoFileSource(FrameSource):
         full-frame path for this exact geometry; returns False (and changes
         nothing) when the backend, bounds, or parity don't allow it.  Call
         before any window is consumed; afterwards read windows exclusively
-        through get_gray_crop_window."""
-        if self.backend != "av" or self._gray_crop is not None:
+        through get_gray_crop_window.
+
+        Also engages on the chunk-parallel backend by swapping its cv2
+        full-frame workers for native gray-crop workers
+        (parallel_decode.gray_crop_worker_factory): multicore hosts then
+        get chunk-parallel decode that is ALSO per-core faster (measured
+        522 vs 357 fps on 1080p H.264) and emits the pipeline's exact
+        input form."""
+        if self._gray_crop is not None:
             return self._gray_crop == crop_region
+        if self.backend not in ("av", "parallel"):
+            return False
         from . import native_av
 
-        H, W = (
-            self._current.shape[:2]
-            if self._current is not None
-            else (self._avrd.height, self._avrd.width)
-        )
+        if self.backend == "av":
+            H, W = (
+                self._current.shape[:2]
+                if self._current is not None
+                else (self._avrd.height, self._avrd.width)
+            )
+        else:
+            H, W = self._frame_hw
         (x1, y1), (x2, y2) = crop_region
         if not (0 <= y1 < y2 <= H and 0 <= x1 < x2 <= W):
             return False  # python-slice semantics needed for OOB crops
         if not native_av.probe_gray_crop_parity(self.filepath, crop_region):
             return False
+        if self.backend == "parallel":
+            # the gray workers re-aim chunks via the native keyframe seek,
+            # which needs its own byte-exactness probe (the cv2 seek probe
+            # that engaged this backend says nothing about libav's)
+            if not native_av.probe_native_seek(self.filepath):
+                return False
+            from .parallel_decode import (
+                ParallelDecoder,
+                gray_crop_worker_factory,
+            )
+
+            old = self._pdec
+            self._pdec = ParallelDecoder(
+                self.filepath,
+                old.total,
+                n_workers=self._n_workers,
+                start=self.next_frame_number,
+                worker_factory=gray_crop_worker_factory(crop_region),
+            )
+            old.close()
+            self._p_cached, self._p_cached_fn = None, -1
+            self._pos = self.next_frame_number
+            self._gray_crop = crop_region
+            return True
         self._gray_crop = crop_region
         # frame 0 was primed as full BGR at open; express it as a gray crop
         # (bit-identical: same conversion the BGR path would apply)
@@ -455,16 +510,23 @@ class VideoFileSource(FrameSource):
                 numbers.append(-1)
                 stamps.append(NULL_TIMESTAMP)
                 continue
-            if fn != self._pos:
-                # non-sequential (checkpoint resume): re-aim the stream
-                ok = self.supports_seek and self._avrd.seek(fn)
-                self._gray_current = (
-                    self._avrd.read_gray_crop(crop) if ok else None
-                )
-                self._pos = fn
-            g = self._gray_current
-            self._gray_current = self._avrd.read_gray_crop(crop)
-            self._pos += 1
+            if self.backend == "parallel":
+                if fn != self._pos:
+                    # non-sequential (checkpoint resume): re-aim workers
+                    self._pdec.restart(fn)
+                g = self._pdec.get(fn)
+                self._pos = fn + 1
+            else:
+                if fn != self._pos:
+                    # non-sequential (checkpoint resume): re-aim the stream
+                    ok = self.supports_seek and self._avrd.seek(fn)
+                    self._gray_current = (
+                        self._avrd.read_gray_crop(crop) if ok else None
+                    )
+                    self._pos = fn
+                g = self._gray_current
+                self._gray_current = self._avrd.read_gray_crop(crop)
+                self._pos += 1
             self.next_frame_number += 1
             if g is None:
                 # decode failure: substitute the last good crop and count

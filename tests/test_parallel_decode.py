@@ -245,3 +245,83 @@ def test_sequential_source_on_one_core(mp4, monkeypatch):
     if expected == "cv2":
         assert not src.supports_seek
     src.close()
+
+
+def test_parallel_gray_window_matches_cv2(mp4):
+    """Parallel backend + gray-crop workers (enable_gray_crop_stream swaps
+    cv2 full-frame workers for native slice-decode workers): source-level
+    gray windows must equal the cv2 backend's get_window + host gray —
+    numbers, timestamps, inclusive-end duplicate, null tail, read_errors."""
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+    p, video = mp4
+    H, W = video.frames.shape[1:3]
+    crop = ((6, 5), (W - 6, H - 5))
+    (x1, y1), (x2, y2) = crop
+    s_par = VideoFileSource(p, backend="parallel", decode_workers=3)
+    s_cv = VideoFileSource(p, backend="cv2")
+    try:
+        if not s_par.enable_gray_crop_stream(crop):
+            pytest.skip("native libav gray-crop probe failed on this host")
+        assert s_par._gray_crop == crop
+        n = video.frames.shape[0] + 3  # crosses inclusive-end AND nulls
+        gp, npar, tp = s_par.get_gray_crop_window(n)
+        fc, nc, tc = s_cv.get_window(n)
+        gc = bgr_to_gray_host(np.stack([f[y1:y2, x1:x2] for f in fc]))
+        assert npar == nc and tp == tc
+        assert np.array_equal(gp, gc)
+        assert s_par.read_errors == s_cv.read_errors == 1
+        # full-frame reads after the gray workers engaged are a misuse
+        with pytest.raises(AssertionError):
+            s_par.read_frame(0)
+    finally:
+        s_par.close()
+        s_cv.close()
+
+
+def test_parallel_gray_nonsequential_restart(mp4):
+    """fn != cursor in gray mode re-aims the workers (checkpoint resume):
+    the jumped-to window must be byte-identical to a fresh sequential
+    read at the same position."""
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+    p, video = mp4
+    H, W = video.frames.shape[1:3]
+    crop = ((4, 4), (W - 4, H - 4))
+    (x1, y1), (x2, y2) = crop
+    src = VideoFileSource(p, backend="parallel", decode_workers=2)
+    try:
+        if not src.enable_gray_crop_stream(crop):
+            pytest.skip("native libav gray-crop probe failed on this host")
+        src.get_gray_crop_window(7)          # consume a bit
+        src.next_frame_number = 31           # resume-style jump
+        g, nums, _ = src.get_gray_crop_window(8)
+        assert nums == list(range(31, 39))
+        s_cv = VideoFileSource(p, backend="cv2")
+        try:
+            s_cv.get_window(31)
+            fc, nc, _ = s_cv.get_window(8)
+        finally:
+            s_cv.close()
+        assert nc == nums
+        want = bgr_to_gray_host(np.stack([f[y1:y2, x1:x2] for f in fc]))
+        assert np.array_equal(g, want)
+    finally:
+        src.close()
+
+
+def test_parallel_worker_factory_failure_degrades_to_substitution(mp4):
+    """A worker whose reader fails to construct must keep serving its
+    claimed chunks as decode failures (None frames), not strand the
+    consumer in a timeout."""
+    p, _ = mp4
+
+    def broken_factory(path):
+        raise RuntimeError("no reader for you")
+
+    dec = ParallelDecoder(p, 20, n_workers=2, worker_factory=broken_factory)
+    try:
+        got = [dec.get(i, timeout=30.0) for i in range(20)]
+        assert got == [None] * 20
+    finally:
+        dec.close()
