@@ -325,3 +325,42 @@ def test_parallel_worker_factory_failure_degrades_to_substitution(mp4):
         assert got == [None] * 20
     finally:
         dec.close()
+
+
+def test_parallel_gray_random_jump_stress(mp4):
+    """Threading stress for the gray-worker decoder: random resume-style
+    jumps interleaved with window reads must always return the frames the
+    cv2 sequential backend returns at the same positions (exercises
+    claim/park/restart races across worker counts)."""
+    from swiftwatcher_tpu.ops.color import bgr_to_gray_host
+
+    p, video = mp4
+    H, W = video.frames.shape[1:3]
+    crop = ((8, 6), (W - 8, H - 6))
+    (x1, y1), (x2, y2) = crop
+
+    # cv2 sequential ground truth, decoded once
+    s_cv = VideoFileSource(p, backend="cv2")
+    try:
+        fc, nc, _ = s_cv.get_window(video.frames.shape[0])
+    finally:
+        s_cv.close()
+    truth = bgr_to_gray_host(np.stack([f[y1:y2, x1:x2] for f in fc]))
+
+    rng = np.random.default_rng(7)
+    for workers in (2, 5):
+        src = VideoFileSource(p, backend="parallel", decode_workers=workers)
+        try:
+            if not src.enable_gray_crop_stream(crop):
+                pytest.skip("native libav gray-crop probe failed")
+            for _ in range(25):
+                start = int(rng.integers(0, video.frames.shape[0] - 1))
+                n = int(rng.integers(1, 9))
+                src.next_frame_number = start
+                g, nums, _ = src.get_gray_crop_window(n)
+                for j, fn in enumerate(nums):
+                    if 0 <= fn < truth.shape[0]:
+                        assert np.array_equal(g[j], truth[fn]), (
+                            workers, start, n, fn)
+        finally:
+            src.close()
