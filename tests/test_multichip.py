@@ -125,3 +125,47 @@ def test_sharded_train_step_learns(rng, mesh):
         losses.append(float(loss))
     assert losses[-1] < losses[0]
     assert losses[-1] < 0.2
+
+
+def test_run_video_mesh_mode_on_parallel_gray_mp4(mesh, cpu_devices, tmp_path):
+    """Mesh mode composed with the chunk-parallel GRAY-CROP decode backend
+    (io/parallel_decode.py gray workers): the sharded run over an actual
+    H.264 container must equal the single-device cv2-backend run event for
+    event — guards the decode-fused sharded program against the gray
+    window source."""
+    import cv2
+    import dataclasses as _dc
+
+    from swiftwatcher_tpu.io.readers import VideoFileSource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=3, n_frames=63, n_entering=2, n_crossing=1)
+    p = tmp_path / "mesh_gray.mp4"
+    w = cv2.VideoWriter(
+        str(p), cv2.VideoWriter_fourcc(*"mp4v"), video.fps,
+        (video.frames.shape[2], video.frames.shape[1]),
+    )
+    assert w.isOpened()
+    for f in video.frames:
+        w.write(f)
+    w.release()
+
+    cfg = _dc.replace(DEFAULT_CONFIG, batch_windows=4)
+    base = run_video(
+        VideoFileSource(p, backend="cv2"), video.corners, cfg,
+        tracker_impl="device",
+    )
+    src = VideoFileSource(p, backend="parallel", decode_workers=3)
+    sharded = run_video(
+        src, video.corners, cfg, mesh=mesh, tracker_impl="device"
+    )
+    src.close()
+    # the gray-crop workers must actually have engaged (otherwise this
+    # test silently exercises the full-frame path instead)
+    assert src._gray_crop is not None
+    assert sharded.total_predicted == base.total_predicted
+    assert len(sharded.events) == len(base.events)
+    for a, b in zip(sharded.events, base.events):
+        assert a.frame_number == b.frame_number
+        assert a.first_centroid == b.first_centroid
