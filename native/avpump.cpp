@@ -249,6 +249,36 @@ int swt_av_read_bgr(void *handle, uint8_t *out, int max_h, int max_w,
 
 void swt_av_close(void *handle) { pump_free((AvPump *)handle); }
 
+// Frame indices of the stream's keyframes, from the container's index
+// (MP4 sample tables are parsed at open — this costs no decode; formats
+// without an upfront index report 0 and callers keep fixed chunking).
+// Chunk-parallel decode aligns its chunks to these so every worker seek
+// lands exactly on its chunk start instead of decoding forward through
+// up to a whole GOP of discarded frames (the reference decodes strictly
+// sequentially, io_video.py:137-165, so it never faced this).  Writes at
+// most max_n strictly-increasing indices; returns the count, or -1 on a
+// bad handle.
+int swt_av_keyframes(void *handle, int64_t *out, int max_n) {
+  AvPump *p = (AvPump *)handle;
+  if (!p || max_n <= 0) return -1;
+  if (p->fps_q.num <= 0) return 0;  // no timestamp basis -> no index
+  AVStream *st = p->fmt->streams[p->stream_index];
+  const int n = avformat_index_get_entries_count(st);
+  AVRational tb = st->time_base;
+  int written = 0;
+  int64_t last = -1;
+  for (int i = 0; i < n && written < max_n; ++i) {
+    const AVIndexEntry *e = avformat_index_get_entry(st, i);
+    if (!e || !(e->flags & AVINDEX_KEYFRAME)) continue;
+    int64_t idx = av_rescale_q_rnd(e->timestamp - p->start_ts, tb,
+                                   av_inv_q(p->fps_q), AV_ROUND_NEAR_INF);
+    if (idx < 0 || idx <= last) continue;
+    out[written++] = idx;
+    last = idx;
+  }
+  return written;
+}
+
 // Position the stream so the NEXT read returns display frame `target`
 // (0-based).  Keyframe-seek + decode-forward: av_seek_frame lands on the
 // preceding keyframe and frames are decoded (not emitted) until the target,

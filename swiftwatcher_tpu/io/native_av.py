@@ -91,6 +91,12 @@ def _load() -> Optional[ctypes.CDLL]:
         if sk is not None:  # optional: stale cached builds may predate it
             sk.argtypes = [ctypes.c_void_p, ctypes.c_int64]
             sk.restype = ctypes.c_int
+        kf = getattr(lib, "swt_av_keyframes", None)
+        if kf is not None:
+            kf.argtypes = [
+                ctypes.c_void_p, ctypes.POINTER(ctypes.c_int64), ctypes.c_int,
+            ]
+            kf.restype = ctypes.c_int
         gc = getattr(lib, "swt_av_read_gray_crop", None)
         if gc is not None:
             gc.argtypes = [
@@ -165,6 +171,26 @@ class AVReader:
         if rc != 0:
             return None
         return out[: h.value * w.value * 3].reshape(h.value, w.value, 3)
+
+    def keyframes(self) -> Optional[np.ndarray]:
+        """Frame indices of the container's keyframes (int64, ascending),
+        read from the container index with no decode — None when the
+        library predates the symbol or the format exposes no usable index.
+        Feeds keyframe-aligned chunking in io/parallel_decode.py so worker
+        seeks land exactly on chunk starts."""
+        if getattr(self._lib, "swt_av_keyframes", None) is None:
+            return None
+        cap = max(int(self.n_frames or 0), 1) + 1
+        out = np.empty((cap,), np.int64)
+        with self._rw_lock:
+            if not self._handle:
+                return None
+            n = self._lib.swt_av_keyframes(
+                self._handle,
+                out.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+                cap,
+            )
+        return out[:n].copy() if n > 0 else None
 
     def seek(self, frame_number: int) -> bool:
         """Position so the next read returns `frame_number` (keyframe seek +

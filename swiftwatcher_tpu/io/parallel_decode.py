@@ -162,19 +162,39 @@ class ParallelDecoder:
         max_ahead: int = 64,
         start: int = 0,
         worker_factory=None,
+        boundaries=None,
     ):
+        """`boundaries`: optional ascending keyframe frame-numbers (from
+        AVReader.keyframes).  Chunks then span keyframe-aligned ranges (each
+        >= `chunk` frames), so a worker's seek lands exactly on its chunk
+        start instead of decoding forward through up to a whole GOP of
+        discarded frames per chunk — on real surveillance footage (GOP
+        ~250) fixed 16-frame chunks would redundantly decode ~15x.  Frames
+        are published incrementally with backpressure, so long chunks do
+        not blow the `max_ahead` memory bound."""
         self.path = str(path)
         self.total = total_frames
         self._worker_factory = worker_factory or _Cv2Worker
         self.chunk = max(chunk, 1)
         self.max_ahead = max(max_ahead, 2 * self.chunk)
+        # chunk-start table: bounds[c] .. bounds[c+1] is chunk c
+        starts = [0]
+        if boundaries is not None:
+            for k in boundaries:
+                k = int(k)
+                if k - starts[-1] >= self.chunk and k < total_frames:
+                    starts.append(k)
+        else:
+            starts = list(range(0, max(total_frames, 1), self.chunk))
+        self._bounds = np.asarray(starts + [total_frames], np.int64)
         self._lock = threading.Lock()
         self._have = threading.Condition(self._lock)
         self._need = threading.Condition(self._lock)
         self._frames: dict[int, Optional[np.ndarray]] = {}
-        self._next_chunk = start // self.chunk
+        self._next_chunk = self._chunk_of(start)
         self._consumed = start          # lowest frame number not yet taken
-        self._stop = False
+        self._gen = 0                   # bumped by restart(): stale workers
+        self._stop = False              # abandon their chunk mid-decode
         self._threads = [
             threading.Thread(target=self._worker, daemon=True)
             for _ in range(max(n_workers, 1))
@@ -182,22 +202,30 @@ class ParallelDecoder:
         for t in self._threads:
             t.start()
 
+    def _chunk_of(self, frame_number: int) -> int:
+        return max(
+            int(np.searchsorted(self._bounds, frame_number, "right")) - 1, 0
+        )
+
     # -- worker side --------------------------------------------------------
-    def _claim(self) -> Optional[int]:
+    def _claim(self):
         with self._lock:
             while True:
                 if self._stop:
                     return None
                 c = self._next_chunk
-                lo = c * self.chunk
                 # Past the end: PARK rather than exit — a restart() (e.g.
                 # checkpoint resume after a full pass) re-aims the chunk
                 # counter and needs live workers to serve it.
-                if lo < self.total and lo - self._consumed < self.max_ahead:
-                    self._next_chunk += 1
-                    return c
-                # backpressure: don't run further than max_ahead frames past
-                # the consumer (bounds host memory at ~max_ahead BGR frames)
+                if c + 1 < len(self._bounds):
+                    lo = int(self._bounds[c])
+                    # backpressure: don't claim further than max_ahead
+                    # frames past the consumer (with incremental publishing
+                    # below, the buffered-frame bound is ~max_ahead even
+                    # for GOP-long chunks)
+                    if lo - self._consumed < self.max_ahead:
+                        self._next_chunk += 1
+                        return c, self._gen
                 self._need.wait()
 
     def _worker(self):
@@ -211,26 +239,41 @@ class ParallelDecoder:
         try:
             pos = -1                     # reader's current frame cursor
             while True:
-                c = self._claim()
-                if c is None:
+                claim = self._claim()
+                if claim is None:
                     return
-                lo = c * self.chunk
-                hi = min(lo + self.chunk, self.total)
+                c, gen = claim
+                lo = int(self._bounds[c])
+                hi = int(self._bounds[c + 1])
                 seek_ok = rd is not None and (pos == lo or rd.seek(lo))
-                out = []
+                # A failed read does NOT advance ffmpeg's cursor: the rest
+                # of the chunk is published as decode failures (frames read
+                # after a non-advancing failure would be silently shifted)
+                # and the next chunk re-seeks.
                 failed = not seek_ok
+                abandoned = False
                 for fn in range(lo, hi):
-                    frame = rd.read() if seek_ok else None
+                    frame = rd.read() if not failed else None
                     failed = failed or frame is None
-                    out.append((fn, frame))
-                # A failed read does NOT advance ffmpeg's cursor: assuming
-                # pos == hi would make the next contiguous chunk skip its
-                # seek and publish every later frame shifted by the number
-                # of failures — silent misalignment.  Force a re-seek.
-                pos = -1 if failed else hi
-                with self._lock:
-                    self._frames.update(out)
-                    self._have.notify_all()
+                    with self._lock:
+                        # stale generation: a restart() moved consumption —
+                        # abandon the chunk instead of publishing frames
+                        # nobody will pop
+                        if self._gen != gen or self._stop:
+                            abandoned = True
+                            break
+                        self._frames[fn] = frame
+                        self._have.notify_all()
+                        # in-chunk backpressure: bound buffered frames even
+                        # when the chunk is a whole GOP
+                        while (
+                            fn + 1 < hi
+                            and fn + 1 - self._consumed >= self.max_ahead
+                            and self._gen == gen
+                            and not self._stop
+                        ):
+                            self._need.wait()
+                pos = -1 if (failed or abandoned) else hi
         finally:
             if rd is not None:
                 rd.close()
@@ -257,11 +300,13 @@ class ParallelDecoder:
             return frame
 
     def restart(self, frame_number: int):
-        """Reposition the stream (checkpoint resume): drop buffered frames
-        and re-aim the chunk counter."""
+        """Reposition the stream (checkpoint resume): drop buffered frames,
+        re-aim the chunk counter, and invalidate in-flight chunks (workers
+        check the generation and abandon mid-decode)."""
         with self._lock:
             self._frames.clear()
-            self._next_chunk = frame_number // self.chunk
+            self._gen += 1
+            self._next_chunk = self._chunk_of(frame_number)
             self._consumed = frame_number
             self._need.notify_all()
 

@@ -322,8 +322,21 @@ class VideoFileSource(FrameSource):
                 if probe_seek_accuracy(filepath, container_frames):
                     self._cap.release()
                     self._cap = None
+                    # keyframe-aligned chunks (from the container index, no
+                    # decode cost) stop workers from re-decoding up to a
+                    # whole GOP per chunk seek; None -> fixed chunking
+                    self._kf_bounds = None
+                    from . import native_av
+
+                    _kfrd = native_av.AVReader.open(filepath)
+                    if _kfrd is not None:
+                        kfs = _kfrd.keyframes()
+                        _kfrd.close()
+                        if kfs is not None and len(kfs) > 1:
+                            self._kf_bounds = [int(k) for k in kfs]
                     self._pdec = ParallelDecoder(
-                        filepath, container_frames, n_workers=decode_workers
+                        filepath, container_frames, n_workers=decode_workers,
+                        boundaries=self._kf_bounds,
                     )
                     self._n_workers = decode_workers
                     self.backend = "parallel"
@@ -468,6 +481,7 @@ class VideoFileSource(FrameSource):
                 n_workers=self._n_workers,
                 start=self.next_frame_number,
                 worker_factory=gray_crop_worker_factory(crop_region),
+                boundaries=self._kf_bounds,
             )
             old.close()
             self._p_cached, self._p_cached_fn = None, -1
