@@ -117,6 +117,11 @@ def test_worker_realigns_after_failed_read(mp4, monkeypatch):
     dec = ParallelDecoder(p, len(seq), n_workers=1, chunk=8)
     try:
         assert dec.get(20) is None        # the injected failure surfaces
+        # the REST of the failed chunk (21-23) must be decode failures too:
+        # reads after a non-advancing failure would return the previous
+        # frame's bytes under the next frame's number (silent shift)
+        for i in (21, 22, 23):
+            assert dec.get(i) is None, f"frame {i} must fail with its chunk"
         for i in list(range(16, 20)) + list(range(24, len(seq))):
             got = dec.get(i)
             assert got is not None and np.array_equal(got, seq[i]), f"frame {i}"
