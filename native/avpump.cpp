@@ -41,8 +41,11 @@ struct AvPump {
   AVPacket *pkt = nullptr;
   AVFrame *frame = nullptr;
   std::vector<uint8_t> slice_bgr;   // scratch for gray-crop reads
+  std::vector<uint8_t> pad_bgr;     // scratch for padded-width full reads
   int stream_index = -1;
   int width = 0, height = 0;
+  int sws_w = 0;                    // conversion width the contexts use
+  int slice_sws_w = 0;
   AVPixelFormat sws_src_fmt = AV_PIX_FMT_NONE;
   AVPixelFormat slice_src_fmt = AV_PIX_FMT_NONE;
   AVRational fps_q = {0, 1};
@@ -50,6 +53,31 @@ struct AvPump {
   bool draining = false;  // EOF reached on the demuxer; flushing the decoder
   bool pending = false;   // p->frame holds a decoded frame not yet consumed
 };
+
+// swscale's unscaled yuv->bgr24 converters are only well-behaved for widths
+// divisible by 16 (measured on the system build, lavs 6/ffmpeg 5.1): at
+// w=852/854 they leave the last 4/6 pixels of EVERY row unwritten (the
+// caller's buffer garbage shows through), and at w=856/860 they write up to
+// 24 bytes PAST the last row's end (heap overrun on an exact-size buffer).
+// Every conversion therefore runs at pad16(w) — decoder frames carry
+// MB-aligned coded data, so the padded columns read real pixels and the
+// unscaled converter is pointwise (pixel i's bytes do not depend on the
+// conversion width), leaving bytes 0..w*3-1 of each row byte-identical to
+// an exact-width conversion while making every byte deterministic and
+// in-bounds.  Rows are then copied out at the display width.
+int pad16_width(const AVFrame *frame) {
+  int w = frame->width;
+  int pw = (w + 15) & ~15;
+  // never read past the allocation: rows are linesize bytes long
+  if (pw > frame->linesize[0]) pw = w;
+  const AVPixFmtDescriptor *d = av_pix_fmt_desc_get((AVPixelFormat)frame->format);
+  if (d && frame->data[1]) {
+    const int cw = pw >> d->log2_chroma_w;
+    if (frame->linesize[1] && cw > frame->linesize[1]) pw = w;
+    if (frame->linesize[2] && cw > frame->linesize[2]) pw = w;
+  }
+  return pw;
+}
 
 void pump_free(AvPump *p) {
   if (!p) return;
@@ -224,23 +252,38 @@ int swt_av_read_bgr(void *handle, uint8_t *out, int max_h, int max_w,
     return -1;
   }
   AVPixelFormat src_fmt = (AVPixelFormat)p->frame->format;
-  if (!p->sws || p->sws_src_fmt != src_fmt) {
+  const int pw = pad16_width(p->frame);  // see pad16_width: edge safety
+  if (!p->sws || p->sws_src_fmt != src_fmt || p->sws_w != pw) {
     // same flags family as cv2's FFmpeg capture (SWS_BICUBIC); for the
     // unscaled same-geometry conversion swscale dispatches its exact
     // fixed-point yuv2rgb converters, so flags do not perturb output
     if (p->sws) sws_freeContext(p->sws);
-    p->sws = sws_getContext(w, h, src_fmt, w, h, AV_PIX_FMT_BGR24,
+    p->sws = sws_getContext(pw, h, src_fmt, pw, h, AV_PIX_FMT_BGR24,
                             SWS_BICUBIC, nullptr, nullptr, nullptr);
     p->sws_src_fmt = src_fmt;
+    p->sws_w = pw;
     if (!p->sws) {
       av_frame_unref(p->frame);
       return -1;
     }
   }
-  uint8_t *dst_data[4] = {out, nullptr, nullptr, nullptr};
-  int dst_stride[4] = {w * 3, 0, 0, 0};
-  sws_scale(p->sws, p->frame->data, p->frame->linesize, 0, h, dst_data,
-            dst_stride);
+  if (pw == w) {
+    uint8_t *dst_data[4] = {out, nullptr, nullptr, nullptr};
+    int dst_stride[4] = {w * 3, 0, 0, 0};
+    sws_scale(p->sws, p->frame->data, p->frame->linesize, 0, h, dst_data,
+              dst_stride);
+  } else {
+    // padded-width conversion into the scratch (every byte written,
+    // nothing past the end), then crop rows to the display width
+    p->pad_bgr.resize((size_t)(h + 1) * pw * 3);
+    uint8_t *dst_data[4] = {p->pad_bgr.data(), nullptr, nullptr, nullptr};
+    int dst_stride[4] = {pw * 3, 0, 0, 0};
+    sws_scale(p->sws, p->frame->data, p->frame->linesize, 0, h, dst_data,
+              dst_stride);
+    for (int y = 0; y < h; ++y)
+      memcpy(out + (size_t)y * w * 3, p->pad_bgr.data() + (size_t)y * pw * 3,
+             (size_t)w * 3);
+  }
   av_frame_unref(p->frame);
   *out_h = h;
   *out_w = w;
@@ -377,12 +420,15 @@ int swt_av_read_gray_crop(void *handle, int y1, int y2, int x1, int x2,
                       ? h
                       : ((y2 + align - 1) & ~(align - 1));
   const int hs = y2e - y1e;
-  if (!p->sws_slice || p->slice_src_fmt != src_fmt || p->sws_slice_h != hs) {
+  const int pw = pad16_width(p->frame);  // see pad16_width: edge safety
+  if (!p->sws_slice || p->slice_src_fmt != src_fmt || p->sws_slice_h != hs ||
+      p->slice_sws_w != pw) {
     if (p->sws_slice) sws_freeContext(p->sws_slice);
-    p->sws_slice = sws_getContext(w, hs, src_fmt, w, hs, AV_PIX_FMT_BGR24,
+    p->sws_slice = sws_getContext(pw, hs, src_fmt, pw, hs, AV_PIX_FMT_BGR24,
                                   SWS_BICUBIC, nullptr, nullptr, nullptr);
     p->slice_src_fmt = src_fmt;
     p->sws_slice_h = hs;
+    p->slice_sws_w = pw;
     if (!p->sws_slice) {
       av_frame_unref(p->frame);
       return -1;
@@ -396,15 +442,15 @@ int swt_av_read_gray_crop(void *handle, int y1, int y2, int x1, int x2,
     src_data[i] = p->frame->data[i] +
                   (ptrdiff_t)(y1e >> shift) * p->frame->linesize[i];
   }
-  p->slice_bgr.resize((size_t)hs * w * 3);
+  p->slice_bgr.resize((size_t)(hs + 1) * pw * 3);
   uint8_t *dst_data[4] = {p->slice_bgr.data(), nullptr, nullptr, nullptr};
-  int dst_stride[4] = {w * 3, 0, 0, 0};
+  int dst_stride[4] = {pw * 3, 0, 0, 0};
   sws_scale(p->sws_slice, src_data, p->frame->linesize, 0, hs, dst_data,
             dst_stride);
   av_frame_unref(p->frame);
   const int cw = x2 - x1;
   for (int y = y1; y < y2; ++y)
-    gray_row(p->slice_bgr.data() + ((size_t)(y - y1e) * w + x1) * 3, cw,
+    gray_row(p->slice_bgr.data() + ((size_t)(y - y1e) * pw + x1) * 3, cw,
              out + (size_t)(y - y1) * cw);
   return 0;
 }
@@ -454,22 +500,44 @@ int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
         avio_open(&fmt->pb, path, AVIO_FLAG_WRITE) < 0)
       break;
     if (avformat_write_header(fmt, nullptr) < 0) break;
-    sws = sws_getContext(w, h, AV_PIX_FMT_BGR24, w, h, AV_PIX_FMT_YUV420P,
-                         SWS_BICUBIC, nullptr, nullptr, nullptr);
     frame = av_frame_alloc();
     pkt = av_packet_alloc();
-    if (!sws || !frame || !pkt) break;
+    if (!frame || !pkt) break;
     frame->format = AV_PIX_FMT_YUV420P;
     frame->width = w;
     frame->height = h;
     if (av_frame_get_buffer(frame, 0) < 0) break;
+    // Convert at a 16-aligned padded width (see pad16_width): swscale's
+    // packed converters overread/underwrite row tails at other widths —
+    // overreading the caller's exact-size BGR buffer and leaving the YUV
+    // edge uninitialized.  The source is staged row-by-row into a padded
+    // scratch (edge pixel replicated); the padded YUV columns land in the
+    // frame's allocator padding, which the encoder ignores.
+    int pw = (w + 15) & ~15;
+    if (pw > frame->linesize[0] || pw / 2 > frame->linesize[1]) pw = w;
+    sws = sws_getContext(pw, h, AV_PIX_FMT_BGR24, pw, h, AV_PIX_FMT_YUV420P,
+                         SWS_BICUBIC, nullptr, nullptr, nullptr);
+    if (!sws) break;
+    std::vector<uint8_t> src_pad;
+    if (pw != w) src_pad.resize((size_t)h * pw * 3);
     bool failed = false;
     for (int i = 0; i <= n && !failed; i++) {
       AVFrame *send = nullptr;
       if (i < n) {
-        const uint8_t *src_data[4] = {bgr + (size_t)i * h * w * 3, nullptr,
-                                      nullptr, nullptr};
-        int src_stride[4] = {w * 3, 0, 0, 0};
+        const uint8_t *src = bgr + (size_t)i * h * w * 3;
+        int src_stride[4] = {pw * 3, 0, 0, 0};
+        if (pw != w) {
+          for (int y = 0; y < h; ++y) {
+            uint8_t *row = src_pad.data() + (size_t)y * pw * 3;
+            memcpy(row, src + (size_t)y * w * 3, (size_t)w * 3);
+            for (int x = w; x < pw; ++x)  // replicate the edge pixel
+              memcpy(row + (size_t)x * 3, row + (size_t)(w - 1) * 3, 3);
+          }
+          src = src_pad.data();
+        } else {
+          src_stride[0] = w * 3;
+        }
+        const uint8_t *src_data[4] = {src, nullptr, nullptr, nullptr};
         if (av_frame_make_writable(frame) < 0) { failed = true; break; }
         sws_scale(sws, src_data, src_stride, 0, h, frame->data,
                   frame->linesize);

@@ -249,3 +249,56 @@ def test_h264_fixture_metadata_exact(clips):
         assert n == len(frames)
     finally:
         rd.close()
+
+
+@pytest.mark.parametrize("width", [852, 854, 856, 860, 864])
+def test_nonaligned_widths_deterministic_and_cv2_exact(tmp_path, width):
+    """Regression for the swscale width-alignment hazards (measured on the
+    system build): unscaled yuv420p->bgr24 leaves the last 4-6 pixels of
+    every row UNWRITTEN at w=852/854 (uninitialized-buffer garbage showed
+    through as nondeterministic edge pixels) and writes up to 24 bytes PAST
+    the buffer end at w=856/860 (heap overrun on exact-size numpy buffers).
+    avpump now converts at pad16 width into a scratch (avpump.cpp
+    pad16_width).  Each width class must be: (a) byte-exact vs cv2,
+    (b) read-path deterministic (two readers + seek agree), (c) gray-crop
+    exact on a right-edge crop."""
+    import cv2 as _cv2
+
+    rng = np.random.default_rng(width)
+    H = 64
+    frames = rng.integers(0, 255, (40, H, width, 3), np.uint8)
+    frames[:, 20:40, 20:40] = 15
+    p = tmp_path / f"w{width}.mp4"
+    if not native_av.write_test_video(p, frames, fps=25.0):
+        pytest.skip("no libx264 on this host")
+
+    # (a) byte-exact vs cv2 on every frame
+    rd = native_av.AVReader.open(p)
+    cap = _cv2.VideoCapture(str(p))
+    n = 0
+    first = None
+    while True:
+        ours = rd.read()
+        ok, ref = cap.read()
+        assert (ours is None) == (not ok)
+        if ours is None:
+            break
+        if first is None:
+            first = ours.copy()
+        assert np.array_equal(ours, ref), f"frame {n} differs from cv2"
+        n += 1
+    cap.release()
+
+    # (b) determinism: fresh reader + seek both reproduce frame 0/20
+    rd2 = native_av.AVReader.open(p)
+    again = rd2.read()
+    assert np.array_equal(first, again)
+    if rd.seek(20) and rd2.seek(20):
+        a, b = rd.read(), rd2.read()
+        assert a is not None and np.array_equal(a, b)
+    rd.close()
+    rd2.close()
+
+    # (c) gray-crop touching the right edge equals the host conversion
+    crop = ((width - 48, 8), (width, 56))
+    assert native_av.probe_gray_crop_parity(p, crop)
