@@ -198,6 +198,16 @@ class PipelineConfig:
     # JV solve behind a lax.cond.  0 disables; capped at 6 (pattern table
     # growth).  Realistic swift footage holds <=3 simultaneous segments.
     track_enum_lap: int = 0
+    # Stack the tracker scan step's small scatters/gathers (pipeline/
+    # tracking_jax.py): the 5 event-buffer scatters become 2 (one (cap, 4)
+    # f32 + one int32; stacked carry layout, converted at the track_window
+    # boundary) and the 5 track-linking gathers one (K, 5) row gather
+    # (int32 hist_len rides a bitcast — value-exact).  Outputs are
+    # bit-identical either way (tested); whether XLA wasn't already fusing
+    # these is an on-chip A/B question — default off until measured
+    # (CLAUDE.md backlog 0; same primitive-count argument as the shipped
+    # scan argsort removals).
+    track_stacked_ops: bool = False
 
 
 DEFAULT_CONFIG = PipelineConfig()

@@ -58,6 +58,35 @@ class EventBuffer(NamedTuple):
     overflow: jnp.ndarray    # () bool
 
 
+class _EvStacked(NamedTuple):
+    """EventBuffer's four f32 columns as one (CAP, 4) array so the per-step
+    event write is ONE f32 scatter + one int32 scatter instead of five
+    (cfg.track_stacked_ops; layout converted at the track_window boundary,
+    never visible to callers).  Column order: first_cy, first_cx, last_cy,
+    last_cx."""
+    f4: jnp.ndarray          # (CAP, 4) f32
+    fn: jnp.ndarray          # (CAP,) int32
+    count: jnp.ndarray       # () int32
+    overflow: jnp.ndarray    # () bool
+
+
+def _stack_events(ev: EventBuffer) -> _EvStacked:
+    return _EvStacked(
+        f4=jnp.stack([ev.first_cy, ev.first_cx, ev.last_cy, ev.last_cx], -1),
+        fn=ev.last_fn, count=ev.count, overflow=ev.overflow,
+    )
+
+
+def _unstack_events(ev) -> EventBuffer:
+    if isinstance(ev, EventBuffer):
+        return ev
+    return EventBuffer(
+        first_cy=ev.f4[:, 0], first_cx=ev.f4[:, 1],
+        last_cy=ev.f4[:, 2], last_cx=ev.f4[:, 3],
+        last_fn=ev.fn, count=ev.count, overflow=ev.overflow,
+    )
+
+
 def empty_state(K: int) -> TrackState:
     z = jnp.zeros((K,), jnp.float32)
     return TrackState(
@@ -246,7 +275,8 @@ def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
     in_roi = roi_mask.reshape(-1)[iy * Wm + ix] == 255
     is_event = disappeared & in_roi & (state.hist_len >= 1)
 
-    cap = events.first_cy.shape[0]
+    stacked = bool(getattr(cfg, "track_stacked_ops", False))
+    cap = (events.f4 if stacked else events.first_cy).shape[0]
     ev_first_cy = jnp.where(state.hist_len > 0, state.first_cy, state.cy)
     ev_first_cx = jnp.where(state.hist_len > 0, state.first_cx, state.cx)
     # event slot k lands at count + (its rank among events in ascending slot
@@ -258,26 +288,60 @@ def _step_full(carry, inputs, roi_mask, cfg: PipelineConfig):
     write = is_event & (pos < cap)
     slot = jnp.where(write, pos, cap)                             # cap = dump
 
-    def scatter(buf, vals):
-        ext = jnp.concatenate([buf, jnp.zeros((1,), buf.dtype)])
-        return ext.at[slot].set(vals.astype(buf.dtype))[:cap]
+    if stacked:
+        # one (cap+1, 4) f32 scatter + one int32 scatter (backlog 0: the
+        # five per-step scatters stacked into two; values identical)
+        vals4 = jnp.stack([ev_first_cy, ev_first_cx, state.cy, state.cx], -1)
+        ext4 = jnp.concatenate([events.f4, jnp.zeros((1, 4), jnp.float32)])
+        extf = jnp.concatenate(
+            [events.fn, jnp.zeros((1,), jnp.int32)]
+        )
+        events = _EvStacked(
+            f4=ext4.at[slot].set(vals4)[:cap],
+            fn=extf.at[slot].set(jnp.full((K,), state.fn, jnp.int32))[:cap],
+            count=jnp.minimum(events.count + n_ev, cap),
+            overflow=events.overflow | (events.count + n_ev > cap),
+        )
+    else:
+        def scatter(buf, vals):
+            ext = jnp.concatenate([buf, jnp.zeros((1,), buf.dtype)])
+            return ext.at[slot].set(vals.astype(buf.dtype))[:cap]
 
-    events = EventBuffer(
-        first_cy=scatter(events.first_cy, ev_first_cy),
-        first_cx=scatter(events.first_cx, ev_first_cx),
-        last_cy=scatter(events.last_cy, state.cy),
-        last_cx=scatter(events.last_cx, state.cx),
-        last_fn=scatter(events.last_fn, jnp.full((K,), state.fn)),
-        count=jnp.minimum(events.count + n_ev, cap),
-        overflow=events.overflow | (events.count + n_ev > cap),
-    )
+        events = EventBuffer(
+            first_cy=scatter(events.first_cy, ev_first_cy),
+            first_cx=scatter(events.first_cx, ev_first_cx),
+            last_cy=scatter(events.last_cy, state.cy),
+            last_cx=scatter(events.last_cx, state.cx),
+            last_fn=scatter(events.last_fn, jnp.full((K,), state.fn)),
+            count=jnp.minimum(events.count + n_ev, cap),
+            overflow=events.overflow | (events.count + n_ev > cap),
+        )
 
     # ---- link: new state from current segments ----------------------------
     has_prev = curr_from >= 0
     p = jnp.clip(curr_from, 0, K - 1)
-    new_hist = jnp.where(has_prev & valid, state.hist_len[p] + 1, 0)
-    pf_cy = jnp.where(state.hist_len[p] > 0, state.first_cy[p], state.cy[p])
-    pf_cx = jnp.where(state.hist_len[p] > 0, state.first_cx[p], state.cx[p])
+    if stacked:
+        # one (K, 5) row gather replaces five (K,) gathers at the same
+        # indices; the int32 hist_len rides a bitcast (value-exact — the
+        # bits never pass through an f32 arithmetic op)
+        src = jnp.stack(
+            [
+                jax.lax.bitcast_convert_type(state.hist_len, jnp.float32),
+                state.first_cy, state.first_cx, state.cy, state.cx,
+            ],
+            -1,
+        )                                                         # (K, 5)
+        g = src[p]
+        hist_p = jax.lax.bitcast_convert_type(g[:, 0], jnp.int32)
+        first_cy_p, first_cx_p = g[:, 1], g[:, 2]
+        cy_p, cx_p = g[:, 3], g[:, 4]
+    else:
+        hist_p = state.hist_len[p]
+        first_cy_p, first_cx_p = state.first_cy[p], state.first_cx[p]
+        cy_p, cx_p = state.cy[p], state.cx[p]
+    new_hist = jnp.where(has_prev & valid, hist_p + 1, 0)
+    pf_cy = jnp.where(hist_p > 0, first_cy_p, cy_p)
+    pf_cx = jnp.where(hist_p > 0, first_cx_p, cx_p)
     new_state = TrackState(
         cy=cy, cx=cx, valid=valid,
         hist_len=new_hist,
@@ -364,6 +428,9 @@ def track_window(
     scan; outputs are identical for any chunk (tested)."""
     T = cys.shape[0]
     events = empty_events(cap=4 * T)
+    if getattr(cfg, "track_stacked_ops", False):
+        events = _stack_events(events)   # carry layout only; callers see
+        # EventBuffer either way (unstacked below)
     if active is None:
         active = jnp.ones(T, bool)
 
@@ -374,7 +441,7 @@ def track_window(
         (state, events), _ = jax.lax.scan(
             f, (state, events), (cys, cxs, valids, fns, active)
         )
-        return state, events
+        return state, _unstack_events(events)
 
     pad = (-T) % chunk
     if pad:
@@ -427,7 +494,7 @@ def track_window(
         (state, events),
         (chunked(cys), chunked(cxs), chunked(valids), chunked(fns), chunked(active)),
     )
-    return state, events
+    return state, _unstack_events(events)
 
 
 @functools.partial(jax.jit, static_argnames=("K", "with_bbox"))

@@ -240,6 +240,96 @@ def test_pattern_table_shapes():
         _pattern_table(7)
 
 
+def test_stacked_ops_bit_identical(rng):
+    """cfg.track_stacked_ops (event scatters stacked 5->2, linking gathers
+    5->1 with a bitcast-carried int32) must be bit-identical to the plain
+    layout for any stream — across the enum LAP, chunked scan, inactive
+    padding, and event overflow."""
+    import dataclasses
+
+    K = DEFAULT_CONFIG.max_tracks
+    roi = np.zeros((64, 96), np.uint8)
+    roi[0:32, 20:80] = 255                  # large ROI so events do fire
+    roi_d = jnp.asarray(roi)
+
+    total_events = 0
+    for trial in range(8):
+        T = int(rng.integers(9, 60))
+        cys = rng.uniform(0, 64, (T, K)).astype(np.float32)
+        cxs = rng.uniform(0, 96, (T, K)).astype(np.float32)
+        # short-range steps so tracks link across frames (hist_len > 0,
+        # exercising the gathered first-centroid path)
+        cys[1:] = np.clip(cys[:-1] + rng.uniform(-6, 6, (T - 1, K)), 0, 63)
+        cxs[1:] = np.clip(cxs[:-1] + rng.uniform(-6, 6, (T - 1, K)), 0, 95)
+        valids = np.zeros((T, K), bool)
+        for t in range(T):
+            r = rng.random()
+            if r < 0.2:
+                continue
+            valids[t, : int(rng.integers(1, 6))] = True
+        active = rng.random(T) > 0.1
+        fns = np.arange(T, dtype=np.int32)
+
+        for enum in (0, 4):
+            for chunk in (1, 8):
+                base = dataclasses.replace(
+                    DEFAULT_CONFIG, track_enum_lap=enum
+                )
+                cfg_s = dataclasses.replace(base, track_stacked_ops=True)
+                args = (
+                    empty_state(K), roi_d,
+                    jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids),
+                    jnp.asarray(fns),
+                )
+                kw = dict(active=jnp.asarray(active), chunk=chunk)
+                s0, e0 = track_window(*args, base, **kw)
+                s1, e1 = track_window(*args, cfg_s, **kw)
+                assert type(e1) is type(e0)   # callers always see EventBuffer
+                for a, b in zip(
+                    jax.tree.leaves((s0, e0)), jax.tree.leaves((s1, e1))
+                ):
+                    np.testing.assert_array_equal(
+                        np.asarray(a), np.asarray(b),
+                        err_msg=f"trial={trial} enum={enum} chunk={chunk}",
+                    )
+                total_events += int(e0.count)
+    assert total_events > 0   # the corpus must actually exercise the scatter
+
+
+def test_stacked_ops_overflow_parity(rng):
+    """The stacked event write must hit the overflow/dump-slot path the same
+    way the plain one does (count saturates, overflow latches)."""
+    import dataclasses
+
+    K = DEFAULT_CONFIG.max_tracks
+    roi = np.full((64, 96), 255, np.uint8)  # everything is in the ROI
+    roi_d = jnp.asarray(roi)
+    T = 12                                  # cap = 4*T = 48 event slots
+    # alternate full/empty frames: every full->empty edge fires up to K-1
+    # linked-track disappearances, overflowing the 48-slot buffer fast
+    cys = rng.uniform(0, 64, (T, K)).astype(np.float32)
+    cxs = rng.uniform(0, 96, (T, K)).astype(np.float32)
+    cys[1:] = np.clip(cys[:-1] + rng.uniform(-3, 3, (T - 1, K)), 0, 63)
+    cxs[1:] = np.clip(cxs[:-1] + rng.uniform(-3, 3, (T - 1, K)), 0, 95)
+    valids = np.zeros((T, K), bool)
+    valids[::3] = True
+    valids[1::3] = True                     # 2 linked frames, then a gap
+    fns = np.arange(T, dtype=np.int32)
+
+    args = (
+        empty_state(K), roi_d,
+        jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids),
+        jnp.asarray(fns),
+    )
+    e0 = track_window(*args, DEFAULT_CONFIG)[1]
+    e1 = track_window(
+        *args, dataclasses.replace(DEFAULT_CONFIG, track_stacked_ops=True)
+    )[1]
+    for a, b in zip(jax.tree.leaves(e0), jax.tree.leaves(e1)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+    assert int(e0.count) > 0
+
+
 def test_chunked_scan_matches_per_frame(rng):
     """track_window's chunked scan (empty-sky fast path over whole chunks)
     must be output-identical to the per-frame scan for any mix of empty,
