@@ -32,9 +32,15 @@ cat "$out/tracker_budget.json"
 echo "== decision hint =="
 python - "$out/tracker_budget.json" <<'PY'
 import json, sys
-d = json.load(open(sys.argv[1]))
-s = d.get("enum_speedup_dense")
-print(f"enum_speedup_dense={s}: "
-      + ("FLIP track_enum_lap default to 4 and re-run bench.py"
-         if s and s > 1.05 else "keep default 0"))
+# the summary line is the LAST json object in the stream
+d = [json.loads(l) for l in open(sys.argv[1]) if l.strip()][-1]
+for key, flag, new in (
+    ("enum_speedup_dense", "track_enum_lap", 4),
+    ("stacked_speedup_dense", "track_stacked_ops", True),
+    ("enumstk_speedup_dense", "track_enum_lap=4 + track_stacked_ops", True),
+):
+    s = d.get(key)
+    print(f"{key}={s}: "
+          + (f"FLIP {flag} default to {new} and re-run bench.py"
+             if s and s > 1.05 else "keep default"))
 PY

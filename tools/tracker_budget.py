@@ -5,12 +5,15 @@ Times track_window (the lax.scan consumer, pipeline/tracking_jax.py) on the
 current backend over synthetic compacted tables at several segment
 densities, in three variants:
 
-  full   — the real step (cost matrix + JV LAP + events + linking)
-  enum   — track_enum_lap=4 (vectorized enumeration LAP on small frames,
-           JV fallback above the threshold); full-vs-enum is the enum win
-  nolap  — solve_lap stubbed to the identity permutation (everything
-           unmatched); the full-vs-nolap delta is the LAP's share
-  empty  — all-invalid tables (the lax.cond fast path / chunk skip)
+  full     — the real step (cost matrix + JV LAP + events + linking)
+  enum     — track_enum_lap=4 (vectorized enumeration LAP on small frames,
+             JV fallback above the threshold); full-vs-enum is the enum win
+  stacked  — track_stacked_ops=True (event scatters 5->2, linking gathers
+             5->1); full-vs-stacked is the backlog-0 stacking win
+  enumstk  — both flags (the composed candidate default)
+  nolap    — solve_lap stubbed to the identity permutation (everything
+             unmatched); the full-vs-nolap delta is the LAP's share
+  empty    — all-invalid tables (the lax.cond fast path / chunk skip)
 
 All variants run interleaved in ONE process (the chip's clock mood swings
 ~2x over minutes; only same-process A/Bs are meaningful).
@@ -92,7 +95,15 @@ def main(argv=None):
     }
 
     real_lap = tj.solve_lap
-    cfg_enum = dataclasses.replace(cfg, track_enum_lap=4)
+    variant_cfg = {
+        "full": cfg,
+        "nolap": cfg,
+        "enum": dataclasses.replace(cfg, track_enum_lap=4),
+        "stacked": dataclasses.replace(cfg, track_stacked_ops=True),
+        "enumstk": dataclasses.replace(
+            cfg, track_enum_lap=4, track_stacked_ops=True
+        ),
+    }
     fns = jnp.arange(T, dtype=jnp.int32)
     dev_streams = {
         name: (jnp.asarray(cys), jnp.asarray(cxs), jnp.asarray(valids), fns)
@@ -101,7 +112,7 @@ def main(argv=None):
     out = {}
 
     def build(variant):
-        vcfg = cfg_enum if variant == "enum" else cfg
+        vcfg = variant_cfg[variant]
 
         @jax.jit
         def run(cys, cxs, valids, fns):
@@ -141,12 +152,11 @@ def main(argv=None):
                 flush=True,
             )
 
-    # full vs enum first (the decision-critical A/B): distinct static cfgs
-    # (no key collision), compiled together, timed interleaved — the
-    # mood-proof comparison
-    run_full, run_enum = build("full"), build("enum")
-    measure("full", run_full)
-    measure("enum", run_enum)
+    # decision-critical A/Bs first: distinct static cfgs (no key collision),
+    # compiled together, timed interleaved — the mood-proof comparison
+    runs = {v: build(v) for v in ("full", "enum", "stacked", "enumstk")}
+    for v, r in runs.items():
+        measure(v, r)
 
     # nolap floor last, in its own trace world (same cfg as full -> same
     # jit cache key, so it must not coexist with the real-LAP trace)
@@ -177,6 +187,16 @@ def main(argv=None):
                         out["full:mixed"] / out["enum:mixed"], 2
                     )
                     if out.get("enum:mixed")
+                    else None,
+                    "stacked_speedup_dense": round(
+                        out["full:dense"] / out["stacked:dense"], 2
+                    )
+                    if out.get("stacked:dense")
+                    else None,
+                    "enumstk_speedup_dense": round(
+                        out["full:dense"] / out["enumstk:dense"], 2
+                    )
+                    if out.get("enumstk:dense")
                     else None,
                 }
             )
