@@ -25,9 +25,13 @@ echo "== bench (cache-warm + headline) =="
 timeout 3000 python bench.py >"$out/bench.json" 2>"$out/bench_detail.json"
 cat "$out/bench.json"
 
-echo "== tracker budget (full/enum/nolap interleaved) =="
+echo "== tracker budget (full/enum/stacked/nolap interleaved) =="
 timeout 1800 python tools/tracker_budget.py --iters 8 >"$out/tracker_budget.json"
 cat "$out/tracker_budget.json"
+
+echo "== tracker budget, chunk=8 (backlog 0: chunked x enum re-sweep) =="
+timeout 1800 python tools/tracker_budget.py --iters 8 --chunk 8 >"$out/tracker_budget_chunk8.json"
+cat "$out/tracker_budget_chunk8.json"
 
 echo "== decision hint =="
 python - "$out/tracker_budget.json" <<'PY'
