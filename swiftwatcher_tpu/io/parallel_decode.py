@@ -262,8 +262,15 @@ class ParallelDecoder:
                         if self._gen != gen or self._stop:
                             abandoned = True
                             break
-                        self._frames[fn] = frame
-                        self._have.notify_all()
+                        # frames behind the consumer window can never be
+                        # returned (get() refuses fn < consumed-1): decode
+                        # past them but don't store — a restart() into the
+                        # middle of a GOP-long chunk would otherwise strand
+                        # the whole keyframe->restart prefix (full-BGR
+                        # frames!) in the buffer for the life of the stream
+                        if fn >= self._consumed - 1:
+                            self._frames[fn] = frame
+                            self._have.notify_all()
                         # in-chunk backpressure: bound buffered frames even
                         # when the chunk is a whole GOP
                         while (

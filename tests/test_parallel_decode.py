@@ -428,3 +428,85 @@ def test_source_uses_keyframe_bounds(mp4):
             assert list(src._pdec._bounds[:-1])[0] == 0
     finally:
         src.close()
+
+
+def test_restart_into_long_chunk_does_not_strand_prefix():
+    """restart() into the middle of a GOP-long keyframe chunk: the worker
+    must decode the keyframe->target prefix but NOT store it — get() can
+    never return frames behind the consumer window, so stored ones would sit
+    in the buffer (full-BGR frames on the cv2 worker) for the stream's
+    life."""
+    import time
+
+    class _CountingWorker:
+        """Deterministic fake: frame n decodes to array([n])."""
+
+        def __init__(self, path):
+            self.pos = 0
+
+        def seek(self, pos):
+            self.pos = pos
+            return True
+
+        def read(self):
+            f = np.array([self.pos], np.int64)
+            self.pos += 1
+            return f
+
+    total = 200
+    dec = ParallelDecoder(
+        "fake", total, n_workers=2, chunk=8,
+        worker_factory=_CountingWorker,
+        boundaries=[0, 100],          # one 100-frame "GOP" chunk each
+    )
+    try:
+        # consume a few frames from the head, then resume deep into chunk 0
+        for i in range(3):
+            assert int(dec.get(i)[0]) == i
+        dec.restart(60)
+        assert int(dec.get(60)[0]) == 60
+        for i in range(61, 100):
+            assert int(dec.get(i)[0]) == i
+        # the 0..58 prefix was decoded through but never stored
+        deadline = time.time() + 5
+        while time.time() < deadline:
+            with dec._lock:
+                stale = [k for k in dec._frames if k < 59]
+            if not stale:
+                break
+            time.sleep(0.05)
+        assert not stale, f"stranded prefix frames: {sorted(stale)[:10]}..."
+        # stream continues normally across the chunk boundary
+        assert int(dec.get(100)[0]) == 100
+    finally:
+        dec.close()
+
+
+def test_start_mid_chunk_does_not_strand_prefix():
+    """Opening with start=N inside a keyframe chunk (checkpoint resume via
+    the constructor) must not retain the keyframe->start prefix either."""
+    class _CountingWorker:
+        def __init__(self, path):
+            self.pos = 0
+
+        def seek(self, pos):
+            self.pos = pos
+            return True
+
+        def read(self):
+            f = np.array([self.pos], np.int64)
+            self.pos += 1
+            return f
+
+    dec = ParallelDecoder(
+        "fake", 200, n_workers=2, chunk=8, start=70,
+        worker_factory=_CountingWorker, boundaries=[0, 100],
+    )
+    try:
+        for i in range(70, 110):
+            assert int(dec.get(i)[0]) == i
+        with dec._lock:
+            stale = [k for k in dec._frames if k < 69]
+        assert not stale, f"stranded prefix frames: {sorted(stale)[:10]}..."
+    finally:
+        dec.close()
