@@ -331,6 +331,45 @@ def main():
     args = ap.parse_args()
     watchdog = _arm_watchdog()
 
+    # Pre-flight data-plane probe: a device_put + readback needs NO compile,
+    # so when the tunnel is live it finishes in ~a second even on the slow
+    # link, and during a full axon outage it hangs (CLAUDE.md rig notes) —
+    # fail in BENCH_PREFLIGHT_SECS instead of burning the whole watchdog
+    # budget.  Runs in a daemon thread because a hung PJRT call is not
+    # interruptible from Python.
+    preflight = float(os.environ.get("BENCH_PREFLIGHT_SECS", "300"))
+    if preflight > 0:
+        import threading as _threading
+
+        ok = _threading.Event()
+
+        def _probe():
+            import jax as _jax
+
+            x = _jax.device_put(np.arange(1024, dtype=np.float32))
+            np.asarray(x)
+            ok.set()
+
+        th = _threading.Thread(target=_probe, daemon=True)
+        th.start()
+        th.join(preflight)
+        if not ok.is_set():
+            print(
+                json.dumps(
+                    {
+                        "metric": "1080p_frames_per_sec_per_chip",
+                        "value": 0,
+                        "unit": "frames/sec",
+                        "vs_baseline": 0,
+                        "error": "preflight: device_put+readback (no "
+                        f"compile) did not complete in {int(preflight)}s — "
+                        "full axon tunnel outage; no measurement taken",
+                    }
+                ),
+                flush=True,
+            )
+            os._exit(3)
+
     cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=args.batch_windows)
 
     # Reference-like 1080p scene: ~400 px chimney -> ~500 x 250 crop.
