@@ -25,7 +25,6 @@ speedup.
 from __future__ import annotations
 
 import threading
-from pathlib import Path
 from typing import Optional
 
 import numpy as np

@@ -20,7 +20,6 @@ forward is the intended behavior its report evaluates.
 
 from __future__ import annotations
 
-import functools
 from typing import Dict, Sequence, Tuple
 
 import jax

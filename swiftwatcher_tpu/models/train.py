@@ -11,7 +11,6 @@ of the head conv splits across the 'model' axis with a psum).
 
 from __future__ import annotations
 
-import functools
 from typing import Dict
 
 import jax

@@ -14,7 +14,6 @@ measure-zero in float).
 
 from __future__ import annotations
 
-import functools
 
 import jax
 import jax.numpy as jnp

@@ -43,7 +43,6 @@ import numpy as np  # noqa: E402
 
 
 def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
-    import dataclasses
 
     import jax.numpy as jnp
 
