@@ -331,6 +331,19 @@ def main():
     args = ap.parse_args()
     watchdog = _arm_watchdog()
 
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=args.batch_windows)
+
+    # Reference-like 1080p scene: ~400 px chimney -> ~500 x 250 crop.
+    video = make_video(
+        seed=0,
+        n_frames=63,
+        H=args.height,
+        W=args.width,
+        n_entering=2,
+        n_crossing=1,
+        n_vanishing=1,
+    )
+
     # Pre-flight data-plane probe: a device_put + readback needs NO compile,
     # so when the tunnel is live it finishes in ~a second even on the slow
     # link, and during a full axon outage it hangs (CLAUDE.md rig notes) —
@@ -354,34 +367,26 @@ def main():
         th.start()
         th.join(preflight)
         if not ok.is_set():
-            print(
-                json.dumps(
-                    {
-                        "metric": "1080p_frames_per_sec_per_chip",
-                        "value": 0,
-                        "unit": "frames/sec",
-                        "vs_baseline": 0,
-                        "error": "preflight: device_put+readback (no "
-                        f"compile) did not complete in {int(preflight)}s — "
-                        "full axon tunnel outage; no measurement taken",
-                    }
-                ),
-                flush=True,
-            )
+            err = {
+                "metric": "1080p_frames_per_sec_per_chip",
+                "value": 0,
+                "unit": "frames/sec",
+                "vs_baseline": 0,
+                "error": "preflight: device_put+readback (no "
+                f"compile) did not complete in {int(preflight)}s — "
+                "full axon tunnel outage; no chip measurement taken",
+            }
+            # the host half of the pipeline is still measurable: record the
+            # ingest decode rate so the round artifact isn't information-free
+            try:
+                dec_fps, dec_backend = host_decode_fps(video, cfg, passes=3)
+                if dec_fps:
+                    err["host_decode_fps_1080p"] = dec_fps
+                    err["host_decode_backend"] = dec_backend
+            except Exception:
+                pass
+            print(json.dumps(err), flush=True)
             os._exit(3)
-
-    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=args.batch_windows)
-
-    # Reference-like 1080p scene: ~400 px chimney -> ~500 x 250 crop.
-    video = make_video(
-        seed=0,
-        n_frames=63,
-        H=args.height,
-        W=args.width,
-        n_entering=2,
-        n_crossing=1,
-        n_vanishing=1,
-    )
 
     if args.resident:
         rcfg = dataclasses.replace(cfg, batch_windows=max(args.batch_windows, 32))
