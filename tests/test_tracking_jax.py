@@ -95,7 +95,7 @@ def test_enum_lap_matches_jv(rng):
     roi[0:16, 30:60] = 255
     roi_d = jnp.asarray(roi)
 
-    for n_enum in (2, 3, 4):
+    for n_enum in (2, 3, 4, 5):
         cfg1 = dataclasses.replace(DEFAULT_CONFIG, track_enum_lap=n_enum)
         for trial in range(4):
             T = int(rng.integers(30, 90))
