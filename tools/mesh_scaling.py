@@ -119,6 +119,83 @@ def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
     return results
 
 
+def measure_model(model_sizes, B, iters, H=64, W=128):
+    """Model-axis (sequence-parallel) sweep at a FIXED total batch: the RPCA
+    pixel axis shards over 'model' devices.  On the 1-core substrate the
+    total work is constant, so flat elapsed establishes that the pixel
+    sharding divides the solve instead of replicating it, and the
+    sharded-vs-unsharded ratio bounds the collective/padding overhead (the
+    part that rides ICI on a pod: psum'd 21x21 Grams + the motion
+    all_gather)."""
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.config import DEFAULT_CONFIG
+    from swiftwatcher_tpu.parallel.mesh import (
+        make_mesh,
+        sharded_localize_windows_gray,
+    )
+    from swiftwatcher_tpu.pipeline.window import localize_windows_gray
+
+    cfg = DEFAULT_CONFIG
+    T = cfg.window_size
+    rng = np.random.default_rng(1)
+    base = rng.integers(90, 170, size=(H, W), dtype=np.uint8)
+    gray_np = (
+        base[None, None].astype(np.int16)
+        + rng.integers(-2, 3, size=(B, T, H, W))
+    )
+    for b in range(B):
+        s = 2 + (3 * b) % 10
+        gray_np[b, 5:15, s : s + 5, 8:14] -= 90
+    gray = jnp.asarray(gray_np.clip(0, 255).astype(np.uint8))
+
+    @jax.jit
+    def run_un(g, k):
+        def body(_, carry):
+            gi = g + jnp.minimum(carry, 0).astype(g.dtype)
+            table, it = localize_windows_gray(gi, cfg)
+            return jnp.minimum(jnp.sum(table.area) + jnp.sum(it), 1)
+
+        return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+    int(run_un(gray, jnp.int32(1)))
+    t0 = time.perf_counter()
+    int(run_un(gray, jnp.int32(iters)))
+    dt_un = time.perf_counter() - t0
+
+    results = []
+    for m in model_sizes:
+        mesh = make_mesh(m, shape=(1, m))
+
+        @jax.jit
+        def run_k(g, k, mesh=mesh):
+            def body(_, carry):
+                gi = g + jnp.minimum(carry, 0).astype(g.dtype)
+                table, it = sharded_localize_windows_gray(gi, mesh, cfg)
+                return jnp.minimum(jnp.sum(table.area) + jnp.sum(it), 1)
+
+            return jax.lax.fori_loop(0, k, body, jnp.int32(0))
+
+        int(run_k(gray, jnp.int32(1)))
+        t0 = time.perf_counter()
+        int(run_k(gray, jnp.int32(iters)))
+        dt = time.perf_counter() - t0
+        results.append(
+            {
+                "model_devices": m,
+                "total_windows": B,
+                "elapsed_s": round(dt, 3),
+                "unsharded_same_batch_s": round(dt_un, 3),
+                "sharded_overhead_x": round(dt / dt_un, 3),
+            }
+        )
+        print(
+            f"model={m}: {iters * B / dt:.2f} windows/s, "
+            f"overhead vs unsharded {dt / dt_un:.2f}x"
+        )
+    return results
+
+
 def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-windows", type=int, default=2)
@@ -137,6 +214,7 @@ def main(argv=None) -> int:
         # on the 1-core substrate TOTAL throughput flat == work divided
         # cleanly (see module docstring); < ~0.7 would flag replication
         r["total_throughput_vs_1dev"] = round(r["windows_per_sec"] / base, 3)
+    model_results = measure_model(sizes, B=8, iters=args.iters)
     out = {
         "substrate": f"{n} virtual CPU devices on a 1-core host "
         "(no multi-chip hardware on this rig; see tools/mesh_scaling.py "
@@ -144,6 +222,7 @@ def main(argv=None) -> int:
         "backend": jax.default_backend(),
         "per_device_windows": args.per_device_windows,
         "results": results,
+        "model_axis_results": model_results,
     }
     args.out.write_text(json.dumps(out, indent=2) + "\n")
     print(f"wrote {args.out}")
