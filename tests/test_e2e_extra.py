@@ -86,3 +86,24 @@ def test_golden_csv_content(tmp_path):
     assert int(sec["rejected"].sum()) == 1
     # timestamp format matches the reference's pandas rendering
     assert sec["timestamp"].iloc[0].endswith("00:00:00")
+
+
+def test_degenerate_short_videos():
+    """Videos shorter than one 21-frame window (down to a single frame)
+    must run cleanly through both trackers (the reference pads null frames
+    through the whole window pipeline, data_structures.py:143-149)."""
+    from swiftwatcher_tpu.io.readers import ArraySource
+    from swiftwatcher_tpu.io.synthetic import make_video
+    from swiftwatcher_tpu.pipeline.runner import run_video
+
+    video = make_video(seed=1, n_frames=63)
+    for n in (1, 22):
+        for tracker in ("host", "device"):
+            out = run_video(
+                ArraySource(video.frames[:n].copy()),
+                corners=video.corners,
+                tracker_impl=tracker,
+            )
+            # n+1: the reference's inclusive-end duplicate frame
+            # (io_video.py:40-44 quirk; PARITY invariant)
+            assert out.frames_processed == n + 1
