@@ -11,15 +11,6 @@ from __future__ import annotations
 import os
 import sys
 
-import jax
-
-# Persistent XLA compilation cache: the window program recompiles only per
-# chimney geometry; caching makes repeat runs start in seconds, not minutes.
-jax.config.update(
-    "jax_compilation_cache_dir",
-    os.environ.get("SWTPU_COMPILE_CACHE", os.path.expanduser("~/.cache/swiftwatcher_tpu_xla")),
-)
-
 from . import ui
 from .config import config_with_overrides
 from .io.readers import open_source
@@ -27,6 +18,20 @@ from .pipeline.runner import run_video
 
 
 def main(argv=None) -> int:
+    # Persistent XLA compilation cache: the window program recompiles only
+    # per chimney geometry; caching makes repeat runs start in seconds, not
+    # minutes.  Configured HERE, not at import — importing this module must
+    # not mutate global jax config (the test suite imports it, and its CPU
+    # programs must not be written into the production cache).
+    import jax
+
+    jax.config.update(
+        "jax_compilation_cache_dir",
+        os.environ.get(
+            "SWTPU_COMPILE_CACHE",
+            os.path.expanduser("~/.cache/swiftwatcher_tpu_xla"),
+        ),
+    )
     args = ui.parse_args(argv)
     cfg = config_with_overrides(args.set)
     filepaths = args.filepaths if args.filepaths else ui.select_filepaths()

@@ -16,6 +16,28 @@ from swiftwatcher_tpu.io.synthetic import make_video
 from swiftwatcher_tpu import ui
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _isolated_compile_cache(tmp_path_factory):
+    """main() enables the persistent XLA compile cache; the suite's CPU
+    programs must go to a throwaway dir, not the production axon cache
+    (mixing them correlated with XLA CPU compile segfaults late in the
+    suite)."""
+    import os
+
+    old = os.environ.get("SWTPU_COMPILE_CACHE")
+    os.environ["SWTPU_COMPILE_CACHE"] = str(tmp_path_factory.mktemp("xla_cache"))
+    yield
+    if old is None:
+        os.environ.pop("SWTPU_COMPILE_CACHE", None)
+    else:
+        os.environ["SWTPU_COMPILE_CACHE"] = old
+    # main() enables the cache globally; turn it back off so the REST of
+    # the suite compiles without the persistent-cache read/write layer
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", None)
+
+
 @pytest.fixture(scope="module")
 def clip(tmp_path_factory):
     td = tmp_path_factory.mktemp("cli")
