@@ -22,6 +22,21 @@ import numpy as np  # noqa: E402
 import pytest  # noqa: E402
 
 
+@pytest.fixture(autouse=True, scope="module")
+def _drop_compiled_programs_between_modules():
+    """jax.clear_caches() at every module boundary.
+
+    The XLA CPU compiler segfaults (inside backend.compile_and_load, no
+    Python error) once ONE process accumulates the whole suite's compiled
+    programs: the full run died deterministically at the same late test in
+    back-to-back runs, while either half of the suite — or any pair of
+    modules — passes in isolation.  Dropping executable caches between
+    modules keeps the live-program count bounded; modules recompile their
+    shared helpers, which costs seconds against a segfaulted suite."""
+    yield
+    jax.clear_caches()
+
+
 @pytest.fixture
 def rng():
     return np.random.default_rng(1234)
