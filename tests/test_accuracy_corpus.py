@@ -1,0 +1,55 @@
+"""Accuracy-corpus regression gate (VERDICT r3 #3).
+
+The per-round quality evidence (ACCURACY_rNN.json, tools/accuracy_corpus.py)
+scores the pipeline on hard synthetic scenes the way the reference's report
+§4.2 scores real annotated footage.  This gate keeps the corpus machinery
+honest in CI and pins a quality floor: the clean scene must stay perfect,
+and the scorer must register both hits and misses on an adversarial scene
+(an all-zero or all-perfect scorer is broken, not good).
+"""
+
+import sys
+from pathlib import Path
+
+import pytest
+
+sys.path.insert(0, str(Path(__file__).resolve().parent.parent / "tools"))
+
+from accuracy_corpus import BASE, SCENES, run_scene  # noqa: E402
+from swiftwatcher_tpu.io.synthetic import make_hard_video  # noqa: E402
+
+
+def test_clean_scene_is_perfect(tmp_path):
+    r = run_scene("clean", SCENES["clean"], tmp_path, "second")
+    det = r["scores"]["detection"]
+    assert det.f1 == 1.0, (det.tp, det.fp, det.missed)
+    dc = r["scores"]["detection+classification"]
+    assert dc.f1 == 1.0, (dc.tp, dc.fp, dc.missed)
+
+
+def test_flyby_trap_scores_track_ground_truth(tmp_path):
+    """The trap scene must (a) carry distractors in its ground truth and
+    (b) produce a score where TP+missed == number of true entries — i.e.
+    the scorer conserves ground-truth mass at second granularity."""
+    spec = SCENES["flyby_trap"]
+    video = make_hard_video(**BASE, **spec)
+    assert video.n_distractors >= 3
+    assert len(video.entry_frames) >= 2
+
+    r = run_scene("flyby_trap", spec, tmp_path, "second")
+    det = r["scores"]["detection"]
+    assert det.tp + det.missed == len(video.entry_frames)
+    # quality floor: the true entries must not be lost wholesale
+    assert det.recall >= 0.5
+
+
+@pytest.mark.parametrize("name", ["crowded", "occlusion", "jitter2"])
+def test_hard_scene_ground_truth_well_formed(name):
+    """Every corpus scene must construct in-bounds ground truth (entries
+    strictly inside the clip, actors drawn inside the canvas)."""
+    video = make_hard_video(**BASE, **SCENES[name])
+    n = BASE["n_frames"]
+    assert video.entry_frames, name
+    assert all(0 < fn < n for fn in video.entry_frames), video.entry_frames
+    assert video.frames.shape == (n, BASE["H"], BASE["W"], 3)
+    assert video.frames.dtype.kind == "u"

@@ -189,3 +189,64 @@ def test_real_cnn_batched_equals_per_frame(video):
     assert _events_key(batched_dev) == _events_key(per_frame)
     assert batched_dev.total_predicted == per_frame.total_predicted
     assert batched_dev.total_rejected == per_frame.total_rejected
+
+
+def test_classify_checkpoint_resume_device(tmp_path, video):
+    """--classify x checkpoint x resume (VERDICT r3 #6): the classify fast
+    path defers track_window to consume time and snapshots dev_state there
+    (runner.py dispatch/consume) — a checkpoint written at a consume must
+    pair the deferred post-classify state with THAT batch's cursor, not
+    the one dispatched after it.  batch_windows=1 forces multiple batches
+    through the software pipeline so checkpoints land between a dispatch
+    and its deferred consume."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=1)
+    full = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="device",
+    )
+
+    ck = tmp_path / "classify_dev.ckpt"
+    partial = ArraySource(video.frames, fps=video.fps)
+    partial.total_frames = 42  # stop mid-video, after 2 of 3 windows
+    run_video(
+        partial, video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="device",
+        checkpoint_path=ck, checkpoint_interval_batches=1,
+    )
+    assert ck.exists()
+
+    resumed = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="device",
+        checkpoint_path=ck,
+    )
+    assert _events_key(resumed) == _events_key(full)
+    assert resumed.total_predicted == full.total_predicted
+    assert resumed.total_rejected == full.total_rejected
+
+
+def test_classify_checkpoint_resume_host(tmp_path, video):
+    """Same composition on the host tracker (batched classify path +
+    pickled SegmentTracker checkpoints)."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, batch_windows=1)
+    full = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="host",
+    )
+
+    ck = tmp_path / "classify_host.ckpt"
+    partial = ArraySource(video.frames, fps=video.fps)
+    partial.total_frames = 42
+    run_video(
+        partial, video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="host",
+        checkpoint_path=ck, checkpoint_interval_batches=1,
+    )
+    resumed = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners, cfg,
+        segment_filter=EvenRejector(), tracker_impl="host",
+        checkpoint_path=ck,
+    )
+    assert _events_key(resumed) == _events_key(full)
+    assert resumed.total_predicted == full.total_predicted
+    assert resumed.total_rejected == full.total_rejected
