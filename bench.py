@@ -273,6 +273,59 @@ def host_decode_fps(video, cfg, passes=6):
         return round(best, 1), "cv2_gray_host"
 
 
+def e2e_from_container_fps(cfg, video, loops=10):
+    """Full product path from an ACTUAL container file: H.264 MP4 ->
+    VideoFileSource (native libav gray-crop decode when the probe engages)
+    -> wire -> chip -> events (VERDICT r3 #4).
+
+    The bench scene is tiled `loops` times and encoded once, then run_video
+    consumes the file exactly as the CLI would.  On this 1-core rig the
+    figure documents the honest decode-capped composition (~host_decode
+    fps); on a multicore fast-link host the chunk-parallel decoder scales
+    it by cores.  Returns (fps, counts_equal, backend) where counts_equal
+    asserts event parity against an ArraySource run over the SAME tiled
+    frames — or (None, None, None) if no H.264 encoder exists."""
+    import tempfile
+
+    from swiftwatcher_tpu.io import native_av
+    from swiftwatcher_tpu.io.readers import ArraySource, VideoFileSource
+
+    tiled = np.tile(video.frames, (loops, 1, 1, 1))
+    with tempfile.TemporaryDirectory() as td:
+        p = os.path.join(td, "e2e_container.mp4")
+        if not native_av.write_test_video(p, tiled, fps=video.fps):
+            return None, None, None
+        src = VideoFileSource(p)
+        backend = src.backend
+        start = time.perf_counter()
+        res = run_video(src, video.corners, cfg, tracker_impl="device")
+        fps = res.frames_processed / (time.perf_counter() - start)
+
+        # parity reference: the same DECODED pixels (H.264 is lossy, so the
+        # raw tiled array is not the comparison point; the av/parallel
+        # backends are probe-gated byte-exact against cv2, so a cv2 decode
+        # reproduces exactly what run_video consumed)
+        import cv2
+
+        cap = cv2.VideoCapture(p)
+        dec = np.empty_like(tiled)
+        for i in range(dec.shape[0]):
+            ok, f = cap.read()
+            assert ok, f"decode parity reference truncated at {i}"
+            dec[i] = f
+        cap.release()
+    ref = run_video(
+        ArraySource(dec, fps=video.fps), video.corners, cfg,
+        tracker_impl="device",
+    )
+    counts_equal = (
+        res.total_predicted == ref.total_predicted
+        and res.total_rejected == ref.total_rejected
+        and len(res.events) == len(ref.events)
+    )
+    return round(fps, 1), counts_equal, backend
+
+
 def _arm_watchdog():
     """Fail loudly instead of hanging forever when the TPU is unreachable.
 
@@ -441,8 +494,10 @@ def main():
     run_video(warm, video.corners, cfg, segment_filter=filt, tracker_impl="device")
     c_samples = []
     c_result = None
-    for _ in range(2):
+    c_upload_bytes = 0
+    for _ in range(3):
         source = LoopingArraySource(video.frames, total=args.frames, fps=video.fps)
+        ub0 = filt.upload_bytes
         start = time.perf_counter()
         c_res = run_video(
             source, video.corners, cfg,
@@ -452,6 +507,7 @@ def main():
         c_samples.append(round(c_fps_i, 2))
         if c_result is None or c_fps_i > c_fps:
             c_result, c_fps = c_res, c_fps_i
+            c_upload_bytes = filt.upload_bytes - ub0
 
     # Supplementary: on-chip throughput with device-resident windows (this
     # rig's host link is a ~36 MB/s tunnel, ~1000x below a real v5e host
@@ -461,6 +517,15 @@ def main():
     s_fps, mesh_shape = sharded_resident_fps(
         dataclasses.replace(cfg, batch_windows=64), video
     )
+
+    # Full product path over an actual H.264 container (VERDICT r3 #4):
+    # decode -> wire -> chip -> events under the driver.  On this 1-core
+    # rig it is decode-capped; on real hardware it is the true headline.
+    fc_fps, fc_counts_equal, fc_backend = None, None, None
+    try:
+        fc_fps, fc_counts_equal, fc_backend = e2e_from_container_fps(cfg, video)
+    except Exception as e:
+        print(f"[bench] from-container sample failed: {e}", file=sys.stderr)
 
     # Host-side decode rate of the real capture format (detail only: the
     # e2e runs above read pre-decoded frames, like the reference's own
@@ -494,6 +559,7 @@ def main():
                 "resident_tracked_frames_per_sec": round(rt_fps, 2),
                 "sharded_resident_frames_per_sec": round(s_fps, 2),
                 "sharded_mesh": list(mesh_shape),
+                "e2e_from_container_fps": fc_fps,
                 "note": (
                     f"e2e shipped {wire_bpf:.0f} B/frame on the wire "
                     f"(raw crop is {crop_bytes} B/frame; the lossless "
@@ -521,6 +587,22 @@ def main():
                     "e2e_samples_fps": e2e_samples,
                     "classified_samples_fps": c_samples,
                     "classified_predicted": c_result.total_predicted,
+                    # classify-path budget (best sample; VERDICT r3 #2):
+                    # readback = packed bbox transfer, crop = host bbox->
+                    # crop slicing, pack = canvas packing + coeffs,
+                    # device = upload + preprocess + CNN forward + keep
+                    # readback; upload_bytes = canvases + coeffs shipped
+                    "classified_stage_seconds": {
+                        k: round(v, 3)
+                        for k, v in sorted(
+                            c_result.metrics.stage_seconds.items()
+                        )
+                        if k.startswith("classify") or k == "consume"
+                    },
+                    "classified_upload_bytes": c_upload_bytes,
+                    "e2e_from_container_fps": fc_fps,
+                    "from_container_counts_equal": fc_counts_equal,
+                    "from_container_backend": fc_backend,
                     "events": len(result.events),
                     "predicted": result.total_predicted,
                     "batch_windows": cfg.batch_windows,

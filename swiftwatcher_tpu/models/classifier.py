@@ -79,6 +79,7 @@ class SqueezeNetSegmentFilter:
     def __init__(self, params, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.cfg = cfg
+        self.upload_bytes = 0  # host->device canvas/coeff bytes (budget)
 
     @classmethod
     def from_weights(cls, path, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -105,7 +106,22 @@ class SqueezeNetSegmentFilter:
             return min(padded_n, cap)
         return -(-n // cap) * cap
 
-    def classify_images(self, images: Sequence[np.ndarray]) -> np.ndarray:
+    def _canvas_bucket(self, images) -> int:
+        """Smallest canvas size that holds every crop in the batch.
+
+        Canvas size only pads with zero-weight resample taps (resize_coeffs
+        masks taps >= the true extent), so the bucket is output-invariant —
+        it exists purely to cut host->device upload bytes: segments are
+        >= 24 px after expand_bbox, and on real footage almost always fit
+        the 32 bucket, a 4x smaller canvas than cnn_max_seg_hw=64.  Two
+        buckets keep the compile-shape count bounded."""
+        m = max(max(im.shape[0], im.shape[1]) for im in images)
+        for b in (32, self.cfg.cnn_max_seg_hw):
+            if m <= b:
+                return b
+        return 0  # does not fit any device canvas -> host PIL path
+
+    def classify_images(self, images: Sequence[np.ndarray], timers=None) -> np.ndarray:
         """Batched keep-mask for raw segment crops.
 
         Batches are padded to the next power of two (capped at
@@ -116,15 +132,21 @@ class SqueezeNetSegmentFilter:
         the host only packs crops into zero-padded canvases; the bit-exact
         PIL-parity resize, pad-to-224, normalize, and CNN forward run as one
         device program.  Oversized segments (> cnn_max_seg_hw) route the
-        batch through the host PIL twin instead."""
+        batch through the host PIL twin instead.
+
+        timers: optional dict accumulating wall seconds per sub-stage
+        ('classify_pack' host-side packing, 'classify_device' upload +
+        preprocess + forward + keep readback) — the classify-path budget
+        VERDICT r3 #2 asked for."""
         if not images:
             return np.zeros((0,), bool)
+        import time as _time
+
         n = len(images)
         padded_n = self._padded_n(n)
-        mx = self.cfg.cnn_max_seg_hw
-        if self.cfg.cnn_device_preprocess and all(
-            im.shape[0] <= mx and im.shape[1] <= mx for im in images
-        ):
+        mx = self._canvas_bucket(images) if self.cfg.cnn_device_preprocess else 0
+        t0 = _time.perf_counter()
+        if mx:
             from .preprocess import pack_canvases, preprocess_batch, resize_coeffs
 
             canv, hs, ws = pack_canvases(images, mx)
@@ -135,19 +157,26 @@ class SqueezeNetSegmentFilter:
                 hs = np.concatenate([hs, np.ones(padded_n - n, np.int32)])
                 ws = np.concatenate([ws, np.ones(padded_n - n, np.int32)])
             out = self.cfg.cnn_resize_to
+            wh = resize_coeffs(ws, mx, out)
+            wv = resize_coeffs(hs, mx, out)
+            t1 = _time.perf_counter()
             batch = preprocess_batch(
-                jnp.asarray(canv),
-                jnp.asarray(resize_coeffs(ws, mx, out)),
-                jnp.asarray(resize_coeffs(hs, mx, out)),
-                self.cfg,
+                jnp.asarray(canv), jnp.asarray(wh), jnp.asarray(wv), self.cfg
             )
+            self.upload_bytes += canv.nbytes + wh.nbytes + wv.nbytes
         else:
             host = np.zeros((padded_n, self.cfg.cnn_input_size,
                              self.cfg.cnn_input_size, 3), np.float32)
             for i, im in enumerate(images):
                 host[i] = preprocess_segment(im, self.cfg)
+            t1 = _time.perf_counter()
             batch = jnp.asarray(host)
+            self.upload_bytes += host.nbytes
         pred = np.asarray(predict(self.params, batch))
+        if timers is not None:
+            t2 = _time.perf_counter()
+            timers["classify_pack"] = timers.get("classify_pack", 0.0) + (t1 - t0)
+            timers["classify_device"] = timers.get("classify_device", 0.0) + (t2 - t1)
         return pred[:n] == 1
 
     def _frame_images(self, table, index, frame_bgr, crop_region):
@@ -176,7 +205,7 @@ class SqueezeNetSegmentFilter:
             images.append(img if img.size else None)
         return images, degenerate
 
-    def batch_call(self, table, frames, crop_region):
+    def batch_call(self, table, frames, crop_region, timers=None):
         """Batched keep-masks for MANY frames in one device forward.
 
         frames: {(b, t): frame_bgr} for every frame with >= 1 valid segment.
@@ -184,7 +213,13 @@ class SqueezeNetSegmentFilter:
         identical to per-frame __call__ (SqueezeNet inference is per-image
         independent; batching only amortizes the dispatch — on a ~35 ms
         round-trip link the per-frame path pays that latency per NON-EMPTY
-        FRAME, this path pays it once per window batch; VERDICT r2 #2)."""
+        FRAME, this path pays it once per window batch; VERDICT r2 #2).
+
+        timers: optional dict accumulating wall seconds ('classify_crop'
+        host bbox->crop extraction, plus classify_images' sub-stages)."""
+        import time as _time
+
+        t0 = _time.perf_counter()
         keys = sorted(frames.keys())
         per_frame = {}
         all_images = []
@@ -194,7 +229,11 @@ class SqueezeNetSegmentFilter:
             )
             per_frame[key] = (len(images), degenerate)
             all_images.extend(im for im in images if im is not None)
-        keep_pred = self.classify_images(all_images)
+        if timers is not None:
+            timers["classify_crop"] = timers.get("classify_crop", 0.0) + (
+                _time.perf_counter() - t0
+            )
+        keep_pred = self.classify_images(all_images, timers=timers)
         out, j = {}, 0
         for key in keys:
             n, degenerate = per_frame[key]

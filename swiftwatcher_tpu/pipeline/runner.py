@@ -175,6 +175,17 @@ def run_video(
                 source.next_frame_number, frames_processed = restored
 
     ialm_iters: List[int] = []
+    # budget timers are passed only to filters that accept them (the hook
+    # contract stays 3-positional for user-supplied filters)
+    _filter_timer_kw = {}
+    if segment_filter is not None and hasattr(segment_filter, "batch_call"):
+        import inspect
+
+        try:
+            if "timers" in inspect.signature(segment_filter.batch_call).parameters:
+                _filter_timer_kw = {"timers": metrics.stage_seconds}
+        except (TypeError, ValueError):
+            pass
     needs_frames = segment_filter is not None or export_segments_dir is not None
     prefetcher = WindowPrefetcher(
         source, crop_region, cfg, keep_frames=needs_frames,
@@ -317,10 +328,17 @@ def run_video(
                 # alignment: compact_tables' stable argsort keeps ascending
                 # label order, the same order batch_call emits.  Only the
                 # (B, T, K) compacted arrays are read back, not the 256-slot
-                # table.
+                # table — and as ONE packed (5, B, T, K) int32 device array
+                # (valid + 4 bbox planes), so consume pays a single host
+                # round-trip instead of five (each np.asarray is its own
+                # ~35 ms round-trip on this rig's tunnel).
+                bbox = compacted[4]
+                packed = jnp.stack(
+                    (kvalid.astype(jnp.int32),) + tuple(bbox)
+                )
                 return table, iters, wins, cursor, (
                     "classify", cy, cx, kvalid, overflow, fns, active,
-                    compacted[4],
+                    packed,
                 )
             with annotate("track_dispatch"):
                 dev_state, ev = track_window(
@@ -351,15 +369,24 @@ def run_video(
         metrics.stage_start("consume")
         table, iters, wins, cursor, ev = pending
         if use_device_tracker and isinstance(ev, tuple) and ev[0] == "classify":
-            _, cy, cx, kvalid, overflow, fns, active, bbox = ev
+            _, cy, cx, kvalid, overflow, fns, active, packed = ev
             nonlocal dev_state
-            # compacted (B, T, K) readback only — not the 256-slot table
+            # compacted (5, B, T, K) readback only — ONE transfer for the
+            # valid mask + 4 bbox planes (not the 256-slot table, not five
+            # separate round-trips)
+            import time as _time
+
+            t0 = _time.perf_counter()
+            planes = np.asarray(packed)
+            metrics.stage_seconds["classify_readback"] = metrics.stage_seconds.get(
+                "classify_readback", 0.0
+            ) + (_time.perf_counter() - t0)
             view = _CompactTableView(
-                valid=np.asarray(kvalid),
-                min_y=np.asarray(bbox[0]),
-                min_x=np.asarray(bbox[1]),
-                max_y=np.asarray(bbox[2]),
-                max_x=np.asarray(bbox[3]),
+                valid=planes[0].astype(bool),
+                min_y=planes[1],
+                min_x=planes[2],
+                max_y=planes[3],
+                max_x=planes[4],
             )
             B = view.valid.shape[0]
             T = cfg.window_size
@@ -372,7 +399,7 @@ def run_video(
             }
             with annotate("classify"):
                 keep_masks = segment_filter.batch_call(
-                    view, frames_by_bt, crop_region
+                    view, frames_by_bt, crop_region, **_filter_timer_kw
                 )
             keep = np.ones((B, T, K), bool)
             n_seg = 0
@@ -468,7 +495,7 @@ def run_video(
             }
             with annotate("classify"):
                 keep_masks = segment_filter.batch_call(
-                    table, frames_by_bt, crop_region
+                    table, frames_by_bt, crop_region, **_filter_timer_kw
                 )
         for b, (frames, numbers, stamps) in enumerate(wins):
             ialm_iters.append(int(np.asarray(iters)[b]))

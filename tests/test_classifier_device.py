@@ -118,3 +118,45 @@ def test_oversized_segment_falls_back_to_pil(rng):
     small = rng.integers(0, 256, (24, 24, 3), np.uint8)
     keep = filt.classify_images([big, small])
     assert keep.shape == (2,) and keep.dtype == bool
+
+
+def test_canvas_bucket_is_output_invariant(rng):
+    """classify_images' adaptive canvas bucket (32 when every crop fits,
+    else cnn_max_seg_hw) exists only to cut upload bytes — predictions must
+    be identical across buckets and vs the host PIL twin, because
+    resize_coeffs zero-weights taps beyond the true extent."""
+    import dataclasses
+
+    from swiftwatcher_tpu.models.classifier import SqueezeNetSegmentFilter
+    from swiftwatcher_tpu.models.squeezenet import random_params
+
+    params = random_params(rng)
+    cfg = DEFAULT_CONFIG
+    f_dev = SqueezeNetSegmentFilter(params, cfg)
+    f_pil = SqueezeNetSegmentFilter(
+        params, dataclasses.replace(cfg, cnn_device_preprocess=False)
+    )
+    small = [rng.integers(0, 256, (h, w, 3), np.uint8)
+             for h, w in ((24, 24), (25, 31), (32, 24), (30, 30))]
+    big = [rng.integers(0, 256, (h, w, 3), np.uint8)
+           for h, w in ((24, 24), (47, 24), (24, 64))]
+
+    assert f_dev._canvas_bucket(small) == 32
+    assert f_dev._canvas_bucket(big) == cfg.cnn_max_seg_hw
+
+    # a small-only batch (32 canvas) and the same crops inside a mixed
+    # batch (64 canvas) must agree with each other and with host PIL
+    keep_small = f_dev.classify_images(small)
+    keep_mixed = f_dev.classify_images(small + big)
+    np.testing.assert_array_equal(keep_small, keep_mixed[: len(small)])
+    np.testing.assert_array_equal(keep_small, f_pil.classify_images(small))
+    np.testing.assert_array_equal(
+        keep_mixed, f_pil.classify_images(small + big)
+    )
+
+    # timers accumulate into the caller's dict
+    timers = {}
+    f_dev.classify_images(small, timers=timers)
+    assert timers.get("classify_pack", 0) >= 0
+    assert timers.get("classify_device", 0) > 0
+    assert f_dev.upload_bytes > 0

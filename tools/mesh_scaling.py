@@ -42,7 +42,23 @@ if jax.config.jax_platforms != "cpu":
 import numpy as np  # noqa: E402
 
 
-def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
+def _median_time(fn, repeats):
+    """Median wall-clock of `fn()` over `repeats` runs plus the raw samples.
+
+    A single sample on a 1-core host times the OS scheduler's mood as much
+    as the program (the r3 artifact's 4-device 0.925 dip was exactly that);
+    the median with recorded spread makes anomalies attributable."""
+    dts = []
+    for _ in range(repeats):
+        t0 = time.perf_counter()
+        fn()
+        dts.append(time.perf_counter() - t0)
+    med = sorted(dts)[len(dts) // 2]
+    spread = (max(dts) - min(dts)) / med if med else 0.0
+    return med, [round(d, 3) for d in dts], round(spread, 3)
+
+
+def measure(data_sizes, per_dev_windows, iters, repeats, H=64, W=128):
 
     import jax.numpy as jnp
 
@@ -93,13 +109,13 @@ def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         int(run_k(gray, jnp.int32(1)))          # compile + warm
-        t0 = time.perf_counter()
-        int(run_k(gray, jnp.int32(iters)))      # forced readback
-        dt = time.perf_counter() - t0
+        dt, dts, spread = _median_time(
+            lambda: int(run_k(gray, jnp.int32(iters))), repeats
+        )
         int(run_k_unsharded(gray, jnp.int32(1)))
-        t0 = time.perf_counter()
-        int(run_k_unsharded(gray, jnp.int32(iters)))
-        dt_un = time.perf_counter() - t0
+        dt_un, dts_un, spread_un = _median_time(
+            lambda: int(run_k_unsharded(gray, jnp.int32(iters))), repeats
+        )
         wps = iters * B / dt
         results.append(
             {
@@ -108,7 +124,10 @@ def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
                 "windows_per_sec": round(wps, 2),
                 "frames_per_sec": round(wps * T, 2),
                 "elapsed_s": round(dt, 3),
+                "elapsed_samples_s": dts,
+                "spread_pct": round(100 * spread, 1),
                 "unsharded_same_batch_s": round(dt_un, 3),
+                "unsharded_samples_s": dts_un,
                 "sharded_overhead_x": round(dt / dt_un, 3),
             }
         )
@@ -119,7 +138,7 @@ def measure(data_sizes, per_dev_windows, iters, H=64, W=128):
     return results
 
 
-def measure_model(model_sizes, B, iters, H=64, W=128):
+def measure_model(model_sizes, B, iters, repeats, H=64, W=128):
     """Model-axis (sequence-parallel) sweep at a FIXED total batch: the RPCA
     pixel axis shards over 'model' devices.  On the 1-core substrate the
     total work is constant, so flat elapsed establishes that the pixel
@@ -159,9 +178,9 @@ def measure_model(model_sizes, B, iters, H=64, W=128):
         return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
     int(run_un(gray, jnp.int32(1)))
-    t0 = time.perf_counter()
-    int(run_un(gray, jnp.int32(iters)))
-    dt_un = time.perf_counter() - t0
+    dt_un, dts_un, _ = _median_time(
+        lambda: int(run_un(gray, jnp.int32(iters))), repeats
+    )
 
     results = []
     for m in model_sizes:
@@ -177,14 +196,16 @@ def measure_model(model_sizes, B, iters, H=64, W=128):
             return jax.lax.fori_loop(0, k, body, jnp.int32(0))
 
         int(run_k(gray, jnp.int32(1)))
-        t0 = time.perf_counter()
-        int(run_k(gray, jnp.int32(iters)))
-        dt = time.perf_counter() - t0
+        dt, dts, spread = _median_time(
+            lambda run_k=run_k: int(run_k(gray, jnp.int32(iters))), repeats
+        )
         results.append(
             {
                 "model_devices": m,
                 "total_windows": B,
                 "elapsed_s": round(dt, 3),
+                "elapsed_samples_s": dts,
+                "spread_pct": round(100 * spread, 1),
                 "unsharded_same_batch_s": round(dt_un, 3),
                 "sharded_overhead_x": round(dt / dt_un, 3),
             }
@@ -200,6 +221,10 @@ def main(argv=None) -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--per-device-windows", type=int, default=2)
     ap.add_argument("--iters", type=int, default=4)
+    ap.add_argument("--repeats", type=int, default=5,
+                    help="timed repetitions per point; the MEDIAN is "
+                    "reported (single samples on a 1-core host time the "
+                    "scheduler, not the program)")
     ap.add_argument(
         "--out", type=Path,
         default=Path(__file__).resolve().parent.parent / "MESH_SCALING.json",
@@ -208,19 +233,25 @@ def main(argv=None) -> int:
 
     n = len(jax.devices())
     sizes = [s for s in (1, 2, 4, 8) if s <= n]
-    results = measure(sizes, args.per_device_windows, args.iters)
+    results = measure(sizes, args.per_device_windows, args.iters, args.repeats)
     base = results[0]["windows_per_sec"]
     for r in results:
         # on the 1-core substrate TOTAL throughput flat == work divided
         # cleanly (see module docstring); < ~0.7 would flag replication
         r["total_throughput_vs_1dev"] = round(r["windows_per_sec"] / base, 3)
-    model_results = measure_model(sizes, B=8, iters=args.iters)
+    model_results = measure_model(sizes, B=8, iters=args.iters,
+                                  repeats=args.repeats)
     out = {
         "substrate": f"{n} virtual CPU devices on a 1-core host "
         "(no multi-chip hardware on this rig; see tools/mesh_scaling.py "
         "docstring for what flat total throughput establishes here)",
         "backend": jax.default_backend(),
         "per_device_windows": args.per_device_windows,
+        "repeats_per_point": args.repeats,
+        "timing": "median of repeats_per_point runs per point; "
+        "elapsed_samples_s carries the raw samples and spread_pct their "
+        "max-min range, so single-sample scheduler noise (the r3 artifact's "
+        "4-device dip) is visible instead of baked into the curve",
         "results": results,
         "model_axis_results": model_results,
     }
