@@ -129,7 +129,17 @@ def main(argv=None) -> int:
                     help="subset of scene names (default: all)")
     ap.add_argument("--granularity", default="second",
                     choices=("exact", "second", "minute", "video"))
+    ap.add_argument("--backend", default="default",
+                    choices=("default", "cpu"),
+                    help="cpu forces the host backend (hermetic; counts "
+                    "are backend-invariant per the parity suite) — useful "
+                    "when the TPU is busy or the tunnel is dark")
     args = ap.parse_args(argv)
+
+    if args.backend == "cpu":
+        import jax
+
+        jax.config.update("jax_platforms", "cpu")
 
     names = args.scenes or list(SCENES)
     unknown = [n for n in names if n not in SCENES]
