@@ -233,6 +233,22 @@ void *swt_av_open(const char *path, int *n_frames, double *fps, int *width,
   return p;
 }
 
+// Decode the next frame and DISCARD it: no pixel conversion, no copy-out.
+// Profiling hook only (tools/decode_floor.py): the rate of a read_null
+// loop is this host's libavcodec decode floor for the stream — the part
+// of the ingest budget no conversion tuning can recover.  Same advance/
+// return contract as swt_av_read_bgr.
+int swt_av_read_null(void *handle) {
+  AvPump *p = (AvPump *)handle;
+  if (!p) return 1;
+  if (!p->pending) {
+    int rc = decode_next(p);
+    if (rc != 0) return rc;
+  }
+  p->pending = false;
+  return 0;
+}
+
 // Decode the next frame into `out` as tightly-packed BGR24 (h*w*3 bytes).
 // Returns 0 on success, 1 at end of stream, -1 on decode error (the stream
 // position still advances — same contract as a failed cv2 retrieve, so the

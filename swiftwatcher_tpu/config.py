@@ -197,7 +197,12 @@ class PipelineConfig:
     # tracking_jax._prev_match_enum).  Busier frames fall back to the full
     # JV solve behind a lax.cond.  0 disables; capped at 6 (pattern table
     # growth).  Realistic swift footage holds <=3 simultaneous segments.
-    track_enum_lap: int = 0
+    # DEFAULT 4 since the r4 on-chip A/B (tools/tracker_budget.py,
+    # interleaved same-process): dense-stream scan 46.2 -> 8.2 ms/336f
+    # (5.63x), mixed 3.59x, event checksums identical; bit-identical to JV
+    # on 520+ float-centroid fuzz streams (ties on integer-snapped
+    # centroids proven optimal-within-rounding, PARITY deviation 10).
+    track_enum_lap: int = 4
     # Stack the tracker scan step's small scatters/gathers (pipeline/
     # tracking_jax.py): the 5 event-buffer scatters become 2 (one (cap, 4)
     # f32 + one int32; stacked carry layout, converted at the track_window

@@ -104,6 +104,10 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, u8p,
             ]
             gc.restype = ctypes.c_int
+        rn = getattr(lib, "swt_av_read_null", None)
+        if rn is not None:  # optional: stale cached builds may predate it
+            rn.argtypes = [ctypes.c_void_p]
+            rn.restype = ctypes.c_int
         wt = getattr(lib, "swt_av_write_test", None)
         if wt is not None:  # optional: stale cached builds may predate it
             wt.argtypes = [
@@ -155,6 +159,22 @@ class AVReader:
         if not handle:
             return None
         return cls(lib, handle, n.value, fps.value, w.value, h.value)
+
+    def read_null(self) -> bool:
+        """Decode the next frame and discard it (no conversion, no copy).
+
+        Profiling-only: a read_null loop's rate is the libavcodec decode
+        floor for this stream on this host — what remains of the ingest
+        budget after all conversion/copy tuning (tools/decode_floor.py).
+        Returns False at end-of-stream/error.  Requires a lib built with
+        swt_av_read_null (stale cached builds fall back to False)."""
+        fn = getattr(self._lib, "swt_av_read_null", None)
+        if fn is None:
+            return False
+        with self._rw_lock:
+            if not self._handle:
+                return False
+            return fn(self._handle) == 0
 
     def read(self) -> Optional[np.ndarray]:
         out = np.empty(self.height * self.width * 3, np.uint8)

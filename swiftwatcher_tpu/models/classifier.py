@@ -15,6 +15,7 @@ frame's segments run as one batched device forward.  keep = argmax == 1.
 
 from __future__ import annotations
 
+import functools
 import math
 from pathlib import Path
 from typing import List, Sequence
@@ -22,12 +23,32 @@ from typing import List, Sequence
 import numpy as np
 from PIL import Image
 
+import jax
 import jax.numpy as jnp
 
 from ..config import PipelineConfig, DEFAULT_CONFIG
 from .squeezenet import predict
 
 DEFAULT_WEIGHTS = Path(__file__).parent / "segment_classifier.npz"
+
+
+@functools.partial(jax.jit, static_argnames=("cfg",))
+def _classify_canvases(params, canv, coeff_table, hs, ws, cfg):
+    """One device program: per-size coeff gather -> PIL-parity resize ->
+    pad/normalize -> SqueezeNet forward -> argmax labels.
+
+    coeff_table is the DEVICE-RESIDENT (mx, out, mx) int32 table of PIL
+    tap weights for every input extent 1..mx (resize_coeffs) — the host
+    ships only sizes (4 bytes each), not per-segment weight matrices
+    (which at 2 x out x mx x 4 B outweighed the 32x32x3 canvases 2:1 in
+    the r4 on-chip classify budget).  Row s-1 of the table is bitwise the
+    matrix resize_coeffs([s], mx, out) emits, so results are unchanged."""
+    from .preprocess import preprocess_batch
+
+    batch = preprocess_batch(
+        canv, coeff_table[ws - 1], coeff_table[hs - 1], cfg
+    )
+    return predict(params, batch)
 
 
 def expand_bbox(
@@ -79,7 +100,8 @@ class SqueezeNetSegmentFilter:
     def __init__(self, params, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.cfg = cfg
-        self.upload_bytes = 0  # host->device canvas/coeff bytes (budget)
+        self.upload_bytes = 0  # host->device canvas/size bytes (budget)
+        self._coeff_tables = {}  # canvas size -> device (mx, out, mx) table
 
     @classmethod
     def from_weights(cls, path, cfg: PipelineConfig = DEFAULT_CONFIG):
@@ -94,6 +116,23 @@ class SqueezeNetSegmentFilter:
                 "against a torch SqueezeNet state_dict first."
             )
         return cls.from_weights(DEFAULT_WEIGHTS, cfg)
+
+    def _coeff_table(self, mx: int):
+        """Device-resident (mx, out, mx) PIL tap-weight table for canvas
+        size mx, uploaded once per process (then host->device traffic per
+        segment is the canvas + 8 bytes of sizes)."""
+        t = self._coeff_tables.get(mx)
+        if t is None:
+            from .preprocess import resize_coeffs
+
+            w = resize_coeffs(
+                np.arange(1, mx + 1, dtype=np.int32), mx,
+                self.cfg.cnn_resize_to,
+            )
+            t = jnp.asarray(w)
+            self.upload_bytes += w.nbytes
+            self._coeff_tables[mx] = t
+        return t
 
     def _padded_n(self, n: int) -> int:
         cap = self.cfg.cnn_batch_cap
@@ -147,7 +186,7 @@ class SqueezeNetSegmentFilter:
         mx = self._canvas_bucket(images) if self.cfg.cnn_device_preprocess else 0
         t0 = _time.perf_counter()
         if mx:
-            from .preprocess import pack_canvases, preprocess_batch, resize_coeffs
+            from .preprocess import pack_canvases
 
             canv, hs, ws = pack_canvases(images, mx)
             if padded_n != n:
@@ -156,14 +195,13 @@ class SqueezeNetSegmentFilter:
                 # size-1 padding rows keep the coeff normalizer away from 0/0
                 hs = np.concatenate([hs, np.ones(padded_n - n, np.int32)])
                 ws = np.concatenate([ws, np.ones(padded_n - n, np.int32)])
-            out = self.cfg.cnn_resize_to
-            wh = resize_coeffs(ws, mx, out)
-            wv = resize_coeffs(hs, mx, out)
+            table = self._coeff_table(mx)
             t1 = _time.perf_counter()
-            batch = preprocess_batch(
-                jnp.asarray(canv), jnp.asarray(wh), jnp.asarray(wv), self.cfg
-            )
-            self.upload_bytes += canv.nbytes + wh.nbytes + wv.nbytes
+            pred = np.asarray(_classify_canvases(
+                self.params, jnp.asarray(canv), table,
+                jnp.asarray(hs), jnp.asarray(ws), self.cfg,
+            ))
+            self.upload_bytes += canv.nbytes + hs.nbytes + ws.nbytes
         else:
             host = np.zeros((padded_n, self.cfg.cnn_input_size,
                              self.cfg.cnn_input_size, 3), np.float32)
@@ -172,7 +210,7 @@ class SqueezeNetSegmentFilter:
             t1 = _time.perf_counter()
             batch = jnp.asarray(host)
             self.upload_bytes += host.nbytes
-        pred = np.asarray(predict(self.params, batch))
+            pred = np.asarray(predict(self.params, batch))
         if timers is not None:
             t2 = _time.perf_counter()
             timers["classify_pack"] = timers.get("classify_pack", 0.0) + (t1 - t0)
