@@ -504,9 +504,26 @@ def compact_tables(table, K: int, with_bbox: bool = False):
 
     with_bbox additionally returns (min_y, min_x, max_y, max_x) compacted
     the same way — the classify fast path reads THESE back instead of the
-    full 256-slot table (~20x fewer readback bytes on a slow host link)."""
+    full 256-slot table (~20x fewer readback bytes on a slow host link).
+
+    The valid-first stable order is a cumsum-rank scatter, not a sort:
+    valid slot i lands at rank(valid)_i - 1, invalid slot i at
+    n_valid + rank(invalid)_i - 1 — exactly stable argsort(~valid)'s
+    placement by construction (the same sort-removal argument as the
+    scan's event compaction and JV valid_order; sorts are multi-pass
+    networks on TPU and this runs on every (B, T) frame)."""
     valid = table.valid
-    order = jnp.argsort(~valid, axis=-1, stable=True)[..., :K]
+    n = valid.shape[-1]
+    idx = jnp.arange(n, dtype=jnp.int32)
+    nv = jnp.cumsum(valid.astype(jnp.int32), axis=-1)
+    n_valid = nv[..., -1:]
+    pos = jnp.where(valid, nv - 1, n_valid + (idx - nv))
+    order_full = jnp.zeros(valid.shape, jnp.int32)
+    order_full = jnp.put_along_axis(
+        order_full, pos, jnp.broadcast_to(idx, valid.shape), axis=-1,
+        inplace=False,
+    )
+    order = order_full[..., :K]
     take = lambda a: jnp.take_along_axis(a, order, axis=-1)
     kvalid = take(valid)
     area = jnp.maximum(take(table.area), 1).astype(jnp.float32)

@@ -374,3 +374,45 @@ def test_chunked_scan_matches_per_frame(rng):
                     np.asarray(a), np.asarray(b),
                     err_msg=f"trial {trial} enum={cfg.track_enum_lap}",
                 )
+
+
+def test_compact_tables_rank_equals_stable_argsort(rng):
+    """compact_tables' valid-first order is a cumsum-rank scatter; it must
+    reproduce stable argsort(~valid)'s placement bit-for-bit (same
+    sort-removal argument as the scan's event compaction), including the
+    all-valid and all-invalid edges."""
+    import jax
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.ops.props import RegionTable
+    from swiftwatcher_tpu.pipeline.tracking_jax import compact_tables
+
+    B, T, N, K = 2, 3, 256, 24
+    for trial in range(12):
+        p = rng.uniform(0, 0.25)
+        valid = rng.random((B, T, N)) < p
+        if trial == 0:
+            valid[:] = False
+        if trial == 1:
+            valid[:] = True
+        mk = lambda: jnp.asarray(rng.integers(0, 99, (B, T, N)).astype(np.int32))
+        tb = RegionTable(
+            area=jnp.asarray(
+                (rng.integers(0, 50, (B, T, N)) * valid).astype(np.int32)
+            ),
+            sum_y=mk(), sum_x=mk(), min_y=mk(), min_x=mk(), max_y=mk(),
+            max_x=mk(), valid=jnp.asarray(valid),
+        )
+        got = compact_tables(tb, K, with_bbox=True)
+        order = jnp.argsort(~tb.valid, axis=-1, stable=True)[..., :K]
+        take = lambda a: jnp.take_along_axis(a, order, axis=-1)
+        areaf = jnp.maximum(take(tb.area), 1).astype(jnp.float32)
+        ref = (
+            take(tb.sum_y).astype(jnp.float32) / areaf,
+            take(tb.sum_x).astype(jnp.float32) / areaf,
+            take(tb.valid),
+            jnp.sum(tb.valid, axis=-1) > K,
+            tuple(take(a) for a in (tb.min_y, tb.min_x, tb.max_y, tb.max_x)),
+        )
+        for a, b in zip(jax.tree.leaves(got), jax.tree.leaves(ref)):
+            np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
