@@ -214,6 +214,18 @@ class PipelineConfig:
     # scan argsort removals).
     track_stacked_ops: bool = False
 
+    # ----- extensions beyond the reference ----------------------------------
+    # Opt-in electronic image stabilization (ops/stabilize.py).  The
+    # reference has NO countermeasure for camera shake: RPCA's low-rank
+    # background model assumes a static scene, so even +-2 px jitter turns
+    # every structure edge into sparse "motion" and detection collapses
+    # (ACCURACY corpus scene jitter2: detection F1 0.5 at defaults).  When
+    # > 0, each window's frames are aligned to the window's temporal mean
+    # by an exhaustive integer-shift SAD search over +-stabilize_max_shift
+    # pixels before RPCA, inside the same compiled program.  0 (default)
+    # is a compile-time no-op and preserves bit-exact reference parity.
+    stabilize_max_shift: int = 0
+
 
 DEFAULT_CONFIG = PipelineConfig()
 

@@ -142,6 +142,19 @@ def run_video(
     tracker = SegmentTracker(roi_mask, cfg)
     metrics = RunMetrics()
 
+    # Stabilization reference (opt-in, cfg.stabilize_max_shift > 0): the
+    # gray crop of the SAME frame the ROI mask was built from, so the mask,
+    # stabilized pixel coordinates, and track centroids across every window
+    # all share one pose (ops/stabilize.py).  None when the feature is off.
+    stab_ref = None
+    if cfg.stabilize_max_shift > 0:
+        from ..ops.color import bgr_to_gray_host
+        from ..geometry import crop_array
+
+        stab_ref = jax.device_put(
+            bgr_to_gray_host(crop_array(np.asarray(ff), crop_region))
+        )
+
     use_device_tracker = tracker_impl == "device"
     if use_device_tracker:
         from .tracking_jax import compact_tables, empty_state, track_window
@@ -224,10 +237,20 @@ def run_video(
             )
         from ..parallel.mesh import sharded_localize_windows_gray
 
+        def _stab(g):
+            # opt-in stabilization runs OUTSIDE shard_map on the global
+            # array (GSPMD partitions the dense ops); integer SAD keeps it
+            # bit-identical to the unsharded path under any partitioning
+            if cfg.stabilize_max_shift > 0:
+                from ..ops.stabilize import stabilize_window
+
+                g, _ = stabilize_window(g, cfg.stabilize_max_shift, stab_ref)
+            return g
+
         @jax.jit
         def _localize_sharded(g):
             return sharded_localize_windows_gray(
-                g, mesh, cfg, with_bbox=needs_frames
+                _stab(g), mesh, cfg, with_bbox=needs_frames
             )
 
         @functools.partial(jax.jit, static_argnames=("N", "H", "W"))
@@ -240,7 +263,8 @@ def run_video(
             g = decode_delta4(first, packed, ei, ev, N, H, W)
             T = cfg.window_size
             return sharded_localize_windows_gray(
-                g.reshape(N // T, T, H, W), mesh, cfg, with_bbox=needs_frames
+                _stab(g.reshape(N // T, T, H, W)), mesh, cfg,
+                with_bbox=needs_frames,
             )
 
         @functools.partial(jax.jit, static_argnames=("N", "H", "W"))
@@ -250,7 +274,8 @@ def run_video(
             g = decode_delta6(mode, bg, lvl1, lvl2, ei, ev, N, H, W)
             T = cfg.window_size
             return sharded_localize_windows_gray(
-                g.reshape(N // T, T, H, W), mesh, cfg, with_bbox=needs_frames
+                _stab(g.reshape(N // T, T, H, W)), mesh, cfg,
+                with_bbox=needs_frames,
             )
 
     def _localize(gray_dev):
@@ -270,7 +295,7 @@ def run_video(
                 gray_dev.mode, gray_dev.bg, gray_dev.lvl1, gray_dev.lvl2,
                 gray_dev.esc_idx, gray_dev.esc_val,
                 shape=(N // T, T, H, W), cfg=cfg,
-                with_bbox=needs_frames,
+                with_bbox=needs_frames, stab_ref=stab_ref,
             )
         if isinstance(gray_dev, WirePacket):
             from .window import localize_windows_packed
@@ -286,11 +311,12 @@ def run_video(
                 gray_dev.first, gray_dev.packed,
                 gray_dev.esc_idx, gray_dev.esc_val,
                 shape=(N // T, T, H, W), cfg=cfg,
-                with_bbox=needs_frames,
+                with_bbox=needs_frames, stab_ref=stab_ref,
             )
         if mesh is not None:
             return _localize_sharded(gray_dev)
-        return localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames)
+        return localize_windows_gray(gray_dev, cfg, with_bbox=needs_frames,
+                                     stab_ref=stab_ref)
 
     def dispatch(batch):
         gray_dev, wins, cursor = batch

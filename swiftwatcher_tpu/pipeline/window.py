@@ -30,6 +30,10 @@ from ..ops.props import RegionTable, region_tables
 
 def _localize_impl(crop_bgr: jnp.ndarray, cfg: PipelineConfig):
     gray = bgr_to_gray(crop_bgr)
+    if cfg.stabilize_max_shift > 0:  # opt-in extension; off = parity
+        from ..ops.stabilize import stabilize_window
+
+        gray, _ = stabilize_window(gray, cfg.stabilize_max_shift)
     motion, iters = rpca_motion_window(gray, cfg)
     filtered = motion_postfilter(motion, cfg)
     labels, _ = label_components(filtered > 0, cfg.ccl_max_iters)
@@ -74,6 +78,7 @@ def localize_windows_gray(
     gray: jnp.ndarray,
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_bbox: bool = False,
+    stab_ref: jnp.ndarray = None,
 ) -> Tuple[RegionTable, jnp.ndarray]:
     """As localize_windows but taking pre-grayscaled (B, T, H, W) uint8.
 
@@ -81,6 +86,12 @@ def localize_windows_gray(
     either way — see ops.color.bgr_to_gray_host) to cut transfer bytes 3x on
     bandwidth-bound links."""
     B, T, H, W = gray.shape
+    if cfg.stabilize_max_shift > 0:  # opt-in extension; off = parity
+        from ..ops.stabilize import stabilize_window
+
+        # stab_ref (the ROI-mask sample frame's gray crop) pins every
+        # window to the mask's pose; None falls back to the window mean
+        gray, _ = stabilize_window(gray, cfg.stabilize_max_shift, stab_ref)
     motion, iters = rpca_motion_window_batched(gray, cfg)
     flat = motion.reshape(B * T, H, W)
     from ..ops.filtering import apply_postfilter
@@ -102,6 +113,7 @@ def localize_windows_packed(
     shape: Tuple[int, int, int, int],
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_bbox: bool = False,
+    stab_ref: jnp.ndarray = None,
 ) -> Tuple[RegionTable, jnp.ndarray]:
     """As localize_windows_gray, but consuming a wire-codec packet
     (io/wirecodec.py): the bit-lossless delta4 decode runs on device as a
@@ -111,7 +123,8 @@ def localize_windows_packed(
 
     B, T, H, W = shape
     gray = decode_delta4(first, packed, esc_idx, esc_val, B * T, H, W)
-    return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox)
+    return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox,
+                                 stab_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "with_bbox", "shape"))
@@ -125,6 +138,7 @@ def localize_windows_packed6(
     shape: Tuple[int, int, int, int],
     cfg: PipelineConfig = DEFAULT_CONFIG,
     with_bbox: bool = False,
+    stab_ref: jnp.ndarray = None,
 ) -> Tuple[RegionTable, jnp.ndarray]:
     """As localize_windows_packed, for the denser delta6 (wire codec v2)
     format — predictive base-6 residuals decoded on device as a prologue of
@@ -133,7 +147,8 @@ def localize_windows_packed6(
 
     B, T, H, W = shape
     gray = decode_delta6(mode, bg, lvl1, lvl2, esc_idx, esc_val, B * T, H, W)
-    return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox)
+    return localize_windows_gray(gray.reshape(B, T, H, W), cfg, with_bbox,
+                                 stab_ref)
 
 
 @functools.partial(jax.jit, static_argnames=("cfg", "keep_stages"))

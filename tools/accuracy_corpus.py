@@ -46,6 +46,17 @@ BASE = dict(n_frames=84, H=240, W=320, fps=30.0)
 
 # The corpus.  Names are stable across rounds — ACCURACY_rN.json files are
 # comparable scene-by-scene.
+# Opt-in config variants, re-scored on the scenes they target so the
+# artifact shows what each extension buys (and that it does not hurt the
+# scenes it is not for).  Keys are stable across rounds like scene names.
+VARIANTS = {
+    "stabilize3": dict(
+        overrides={"stabilize_max_shift": 3},
+        scenes=("clean", "noise11", "jitter1", "jitter2"),
+        why="electronic stabilization (ops/stabilize.py); targets jitter*",
+    ),
+}
+
 SCENES = {
     "clean":          dict(seed=40, n_entering=3, n_crossing=1),
     "crowded":        dict(seed=41, n_entering=5, simultaneous=True),
@@ -77,17 +88,22 @@ def groundtruth_csv(video, path: Path) -> None:
     df.to_csv(path, index=False)
 
 
-def run_scene(name: str, spec: dict, workdir: Path, granularity: str) -> dict:
+def run_scene(name: str, spec: dict, workdir: Path, granularity: str,
+              overrides: dict = None) -> dict:
+    import dataclasses
+
     from swiftwatcher_tpu.config import DEFAULT_CONFIG
     from swiftwatcher_tpu.io.readers import ArraySource
     from swiftwatcher_tpu.pipeline.runner import run_video
 
+    cfg = (dataclasses.replace(DEFAULT_CONFIG, **overrides)
+           if overrides else DEFAULT_CONFIG)
     video = make_hard_video(**BASE, **spec)
     out = workdir / name
     result = run_video(
         ArraySource(video.frames, fps=video.fps),
         video.corners,
-        DEFAULT_CONFIG,
+        cfg,
         export_dir=out,
     )
 
@@ -196,6 +212,33 @@ def main(argv=None) -> int:
               f"{out['AVG'][kind]['precision']:>9.4f} "
               f"{out['AVG'][kind]['recall']:>7.4f} "
               f"{out['AVG'][kind]['f1']:>7.4f}")
+
+    # opt-in variants (skipped when --scenes filters out all their targets)
+    for vname, v in VARIANTS.items():
+        vscenes = [n for n in v["scenes"] if n in names]
+        if not vscenes:
+            continue
+        vout = {}
+        with tempfile.TemporaryDirectory() as td:
+            for name in vscenes:
+                r = run_scene(name, SCENES[name], Path(td),
+                              args.granularity, overrides=v["overrides"])
+                vout[name] = {
+                    kind: dict(
+                        tp=s.tp, fp=s.fp, missed=s.missed,
+                        precision=round(s.precision, 4),
+                        recall=round(s.recall, 4), f1=round(s.f1, 4),
+                    )
+                    for kind, s in r["scores"].items()
+                }
+        out.setdefault("opt_in", {})[vname] = {
+            "overrides": v["overrides"], "why": v["why"], "scenes": vout,
+        }
+        print(f"\n== opt-in {vname} ({v['why']}) ==")
+        for name in vscenes:
+            base_f1 = out["scenes"][name]["detection"]["f1"]
+            got_f1 = vout[name]["detection"]["f1"]
+            print(f"{name:<28} detection F1 {base_f1:.4f} -> {got_f1:.4f}")
 
     blob = json.dumps(out, indent=2)
     if args.json == "-":
