@@ -96,7 +96,22 @@ def classify_events(
         mode = compute_mode(df["angle"].to_numpy(), cfg)
         b = cfg.angle_band_halfwidth
         bins = [-180 - EPSILON, mode - b, mode + b, 180 + EPSILON]
-        df["label"] = np.array([0, 1, 0])[pd.cut(df["angle"], bins=bins, labels=False)]
+        if bins == sorted(bins) and len(set(bins)) == 4:
+            # the reference's exact construction (right-closed pd.cut band,
+            # event_classification.py:103-117) — always taken at reference
+            # defaults (b=30, mode clamped to (-135,-45))
+            df["label"] = np.array([0, 1, 0])[
+                pd.cut(df["angle"], bins=bins, labels=False)
+            ]
+        else:
+            # non-reference band widths (--set angle_band_halfwidth=...) can
+            # push mode±b outside (-180, 180), collapsing pd.cut's bin
+            # edges (ValueError).  The band test itself is still well
+            # defined — label 1 iff mode-b < angle <= mode+b, identical to
+            # the right-closed middle bin — so apply it directly.
+            df["label"] = (
+                (df["angle"] > mode - b) & (df["angle"] <= mode + b)
+            ).astype(np.int64)
     else:
         df["label"] = np.array([], dtype=np.int64)
     df["events"] = 1

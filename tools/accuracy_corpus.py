@@ -55,6 +55,14 @@ VARIANTS = {
         scenes=("clean", "noise11", "jitter1", "jitter2"),
         why="electronic stabilization (ops/stabilize.py); targets jitter*",
     ),
+    "wide_angle_band": dict(
+        overrides={"angle_band_halfwidth": 60.0},
+        scenes=("clean", "crowded", "crowded_flyby", "occluded_crowd",
+                "flyby_trap"),
+        why="entry-angle band 30->60 deg: crowded lanes converge at shallow "
+            "angles the reference's +-30 band rejects; flyby_trap controls "
+            "that the wider band still rejects the vanish distractor",
+    ),
 }
 
 SCENES = {
