@@ -69,6 +69,13 @@ class PipelineConfig:
     # ----- event classification --------------------------------------------
     # event_classification.py:95  drop angles that are multiples of 15 deg
     false_angle_multiple: float = 15.0
+    # OPT-IN accuracy extension (0.0 = exact reference behavior): only drop
+    # false angles when the path's first->last displacement is below this
+    # many pixels.  The 15-deg-multiple drop targets grid artifacts of tiny
+    # opened segments (which move a couple px); a real dive at exactly -90
+    # deg moves tens of px and is a true entry the reference miscounts
+    # (measured: crowded-corpus detection misses in ACCURACY_r04.json).
+    false_angle_min_disp: float = 0.0
     # event_classification.py:110-114  label 1 iff angle in (mode-30, mode+30)
     angle_band_halfwidth: float = 30.0
     # event_classification.py:124  36-bin histogram over [-180, 180]

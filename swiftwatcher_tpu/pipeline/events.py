@@ -54,12 +54,27 @@ def events_to_dataframe(events: Sequence[Event]) -> pd.DataFrame:
 
 
 def drop_false_angles(
-    df: pd.DataFrame, cfg: PipelineConfig = DEFAULT_CONFIG
+    df: pd.DataFrame,
+    cfg: PipelineConfig = DEFAULT_CONFIG,
+    disp: Sequence[float] | None = None,
 ) -> pd.DataFrame:
     """Drop angles that are exact multiples of cfg.false_angle_multiple
-    degrees (event_classification.py:86-100)."""
+    degrees (event_classification.py:86-100).
+
+    With cfg.false_angle_min_disp > 0 (opt-in, off by default) and a
+    per-row first->last displacement array, only short paths are dropped:
+    the multiple-of-15 heuristic targets grid artifacts of tiny opened
+    segments, which barely move — a long straight dive that happens to hit
+    -90.0 deg exactly is a real entry (see ACCURACY JSON crowded scenes).
+    """
     mask = df["angle"] % cfg.false_angle_multiple == 0
+    if cfg.false_angle_min_disp > 0 and disp is not None:
+        short = np.asarray(disp, dtype=float) < cfg.false_angle_min_disp
+        # positional masking: duplicate (timestamp, framenumber) index
+        # labels must not drag sibling rows along
+        return df[~(mask.to_numpy() & short)]
     if mask.any():
+        # reference-exact path, incl. its label-based drop semantics
         df = df.drop(df[mask].index)
     return df
 
@@ -91,7 +106,14 @@ def classify_events(
     """Angle features -> filtered -> labeled DataFrame with columns
     [angle, label, events] (event_classification.py:47-60, 103-117)."""
     df = events_to_dataframe(events)
-    df = drop_false_angles(df, cfg)
+    disp = [
+        math.hypot(
+            ev.first_centroid[0] - ev.last_centroid[0],
+            ev.first_centroid[1] - ev.last_centroid[1],
+        )
+        for ev in events
+    ]
+    df = drop_false_angles(df, cfg, disp=disp)
     if len(df) > 0:
         mode = compute_mode(df["angle"].to_numpy(), cfg)
         b = cfg.angle_band_halfwidth

@@ -43,6 +43,22 @@ def test_flyby_trap_scores_track_ground_truth(tmp_path):
     assert det.recall >= 0.5
 
 
+def test_disp_gate_recovers_crowded_dives(tmp_path):
+    """Opt-in false_angle_min_disp=5: the crowded scene's real dives at
+    exact multiples of 15 deg are kept (detection F1 strictly improves and
+    precision does not regress), while the default run stays the committed
+    baseline.  This is the corpus-level gate behind the
+    false_angle_disp_gate variant in ACCURACY_rNN.json."""
+    spec = SCENES["crowded"]
+    base = run_scene("crowded", spec, tmp_path / "base", "second")
+    gated = run_scene("crowded", spec, tmp_path / "gated", "second",
+                      overrides={"false_angle_min_disp": 5.0})
+    b, g = base["scores"]["detection"], gated["scores"]["detection"]
+    assert g.f1 > b.f1, (b.f1, g.f1)
+    assert g.fp <= b.fp, (b.fp, g.fp)
+    assert g.f1 == 1.0, (g.tp, g.fp, g.missed)
+
+
 @pytest.mark.parametrize("name", ["crowded", "occlusion", "jitter2"])
 def test_hard_scene_ground_truth_well_formed(name):
     """Every corpus scene must construct in-bounds ground truth (entries

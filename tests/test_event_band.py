@@ -73,3 +73,52 @@ def test_default_width_unchanged():
     assert by_angle[-95] == by_angle[-91] == by_angle[-89] == by_angle[-88] == 1
     assert by_angle[-130] == by_angle[-40] == by_angle[-170] == 0
     assert by_angle[179] == by_angle[-10] == 0
+
+
+def _disp_events():
+    """Two events at exactly -90 deg (a false-angle multiple): one tiny
+    2-px hop (grid artifact) and one 40-px dive (real bird); plus a
+    non-multiple control that must always survive."""
+    return [
+        Event(first_centroid=(10.0, 10.0), last_centroid=(12.0, 10.0),
+              frame_number=100, timestamp=pd.Timestamp(0)),
+        Event(first_centroid=(10.0, 10.0), last_centroid=(50.0, 10.0),
+              frame_number=140, timestamp=pd.Timestamp(0) + pd.Timedelta(seconds=1)),
+        Event(first_centroid=(10.0, 10.0), last_centroid=(40.0, 25.0),
+              frame_number=180, timestamp=pd.Timestamp(0) + pd.Timedelta(seconds=2)),
+    ]
+
+
+def test_false_angle_disp_gate_default_is_reference_exact():
+    """false_angle_min_disp=0 (default) drops EVERY multiple-of-15 angle,
+    long paths included — the reference's behavior, byte-for-byte."""
+    df = classify_events(_disp_events(), DEFAULT_CONFIG)
+    assert len(df) == 1
+    assert df.reset_index()["framenumber"].tolist() == [180]
+
+
+def test_false_angle_disp_gate_keeps_long_paths():
+    """Opt-in gate: the 40-px dive at -90 deg survives, the 2-px artifact
+    still drops, the non-multiple control is untouched."""
+    cfg = dataclasses.replace(DEFAULT_CONFIG, false_angle_min_disp=5.0)
+    df = classify_events(_disp_events(), cfg)
+    assert df.reset_index()["framenumber"].tolist() == [140, 180]
+
+
+def test_false_angle_disp_gate_duplicate_index_rows_independent():
+    """Positional masking: two events sharing (timestamp, framenumber) must
+    drop independently — the short artifact goes, its index-twin stays.
+    (The reference-exact path drops by index label, which would take both;
+    that quirk is preserved only at min_disp=0 where the twin is dropped
+    for its own angle anyway.)"""
+    ts = pd.Timestamp(0)
+    evs = [
+        Event(first_centroid=(10.0, 10.0), last_centroid=(12.0, 10.0),
+              frame_number=100, timestamp=ts),            # -90, 2 px: drop
+        Event(first_centroid=(10.0, 10.0), last_centroid=(50.0, 10.0),
+              frame_number=100, timestamp=ts),            # -90, 40 px: keep
+    ]
+    cfg = dataclasses.replace(DEFAULT_CONFIG, false_angle_min_disp=5.0)
+    df = classify_events(evs, cfg)
+    assert len(df) == 1
+    assert abs(float(df["angle"].iloc[0]) - (-90.0)) < 1e-9

@@ -63,6 +63,24 @@ VARIANTS = {
             "angles the reference's +-30 band rejects; flyby_trap controls "
             "that the wider band still rejects the vanish distractor",
     ),
+    "false_angle_disp_gate": dict(
+        overrides={"false_angle_min_disp": 5.0},
+        scenes=("clean", "crowded", "occluded_crowd", "flyby_trap",
+                "jitter1"),
+        why="only drop multiple-of-15-deg angles when the path moved <5 px: "
+            "the reference's grid-artifact heuristic miscounts real dives "
+            "at exactly -90/-135 deg (crowded lanes); jitter1/flyby_trap "
+            "control that true artifacts/distractors still drop",
+    ),
+    "accuracy_pack": dict(
+        overrides={"angle_band_halfwidth": 60.0,
+                   "false_angle_min_disp": 5.0,
+                   "stabilize_max_shift": 3},
+        scenes=tuple(),  # filled below: ALL scenes — the everything-on row
+        why="all opt-in accuracy extensions together (wide band + disp "
+            "gate + stabilization): the 'beats the reference' headline and "
+            "a check that the extensions do not interact destructively",
+    ),
 }
 
 SCENES = {
@@ -79,6 +97,8 @@ SCENES = {
     "flyby_trap":     dict(seed=50, n_entering=2, n_flyby=3, n_vanishing=1),
     "drift":          dict(seed=51, n_entering=3, brightness_drift=0.4),
 }
+
+VARIANTS["accuracy_pack"]["scenes"] = tuple(SCENES)
 
 
 def groundtruth_csv(video, path: Path) -> None:
@@ -239,14 +259,27 @@ def main(argv=None) -> int:
                     )
                     for kind, s in r["scores"].items()
                 }
-        out.setdefault("opt_in", {})[vname] = {
+        entry = {
             "overrides": v["overrides"], "why": v["why"], "scenes": vout,
         }
+        entry["AVG"] = {
+            kind: {
+                "f1": round(float(np.mean(
+                    [vout[n][kind]["f1"] for n in vscenes])), 4),
+                "base_f1": round(float(np.mean(
+                    [out["scenes"][n][kind]["f1"] for n in vscenes])), 4),
+            }
+            for kind in ("detection", "detection+classification")
+        }
+        out.setdefault("opt_in", {})[vname] = entry
         print(f"\n== opt-in {vname} ({v['why']}) ==")
         for name in vscenes:
             base_f1 = out["scenes"][name]["detection"]["f1"]
             got_f1 = vout[name]["detection"]["f1"]
             print(f"{name:<28} detection F1 {base_f1:.4f} -> {got_f1:.4f}")
+        for kind, a in entry["AVG"].items():
+            print(f"{'AVG over variant scenes':<28} {kind} F1 "
+                  f"{a['base_f1']:.4f} -> {a['f1']:.4f}")
 
     blob = json.dumps(out, indent=2)
     if args.json == "-":
