@@ -33,7 +33,14 @@ def main(argv=None) -> int:
         ),
     )
     args = ui.parse_args(argv)
-    cfg = config_with_overrides(args.set)
+    overrides = list(args.set)
+    if args.accuracy_pack:
+        from .config import ACCURACY_PACK_OVERRIDES
+
+        # preset first: an explicit --set of the same field wins (later
+        # overrides replace earlier ones in config_with_overrides)
+        overrides = list(ACCURACY_PACK_OVERRIDES) + overrides
+    cfg = config_with_overrides(overrides)
     filepaths = args.filepaths if args.filepaths else ui.select_filepaths()
 
     mesh = None

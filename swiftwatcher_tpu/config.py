@@ -236,6 +236,18 @@ class PipelineConfig:
 
 DEFAULT_CONFIG = PipelineConfig()
 
+# The CLI's --accuracy-pack preset: the three opt-in extensions together,
+# at the values validated on the 12-scene accuracy corpus (ACCURACY_r04:
+# detection AVG F1 0.9205 -> 0.9833, det+class 0.7750 -> 0.9881) and
+# seed-robust across 30 fresh draws (ACCURACY_SEEDS_r04: 13/18 wins, 0
+# losses).  Kept as --set-style strings so explicit --set flags override
+# them (config_with_overrides applies in order, later wins).
+ACCURACY_PACK_OVERRIDES = (
+    "angle_band_halfwidth=60",
+    "false_angle_min_disp=5",
+    "stabilize_max_shift=3",
+)
+
 
 def config_with_overrides(overrides, base: PipelineConfig = DEFAULT_CONFIG) -> PipelineConfig:
     """Apply "field=value" override strings (the CLI's --set flag).

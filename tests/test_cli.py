@@ -100,3 +100,38 @@ def test_cli_mesh_runs_sharded(clip, capsys):
     plain = capsys.readouterr().out
     line = [l for l in sharded.splitlines() if "predicted" in l]
     assert line and line == [l for l in plain.splitlines() if "predicted" in l]
+
+
+def test_cli_accuracy_pack_preset(clip, capsys, monkeypatch):
+    """--accuracy-pack = the three documented --set overrides, with an
+    explicit --set still winning over the preset."""
+    from swiftwatcher_tpu.config import ACCURACY_PACK_OVERRIDES
+    import swiftwatcher_tpu.__main__ as entry
+
+    seen = {}
+    real = entry.config_with_overrides
+
+    def spy(overrides, *a, **kw):
+        seen["overrides"] = list(overrides)
+        return real(overrides, *a, **kw)
+
+    monkeypatch.setattr(entry, "config_with_overrides", spy)
+    rc = main(
+        [
+            "--filepaths", str(clip),
+            "--accuracy-pack",
+            "--set", "stabilize_max_shift=1",
+            "--set", "batch_windows=2",
+        ]
+    )
+    assert rc == 0
+    assert "predicted" in capsys.readouterr().out
+    # preset first, explicit --set after (later wins in
+    # config_with_overrides)
+    assert seen["overrides"][: len(ACCURACY_PACK_OVERRIDES)] == list(
+        ACCURACY_PACK_OVERRIDES
+    )
+    cfg = real(seen["overrides"])
+    assert cfg.angle_band_halfwidth == 60.0
+    assert cfg.false_angle_min_disp == 5.0
+    assert cfg.stabilize_max_shift == 1  # explicit --set overrode the preset
