@@ -83,3 +83,28 @@ def test_csv_export_roundtrip(tmp_path):
     assert int(full["rejected"].sum()) == result.total_rejected
     ev_only = pd.read_csv(tmp_path / "out" / f"{total}-swifts_events-only_usec.csv")
     assert (ev_only[["predicted", "rejected"]].sum(axis=1) > 0).all()
+
+
+@pytest.mark.parametrize("impl", ["host", "device"])
+def test_null_tail_window_emits_no_phantom_events(impl):
+    """PARITY.md deviation 11: a last window whose tail is null (zero)
+    frames must contribute NO segments — the RPCA output there is
+    unspecified null-space noise (the svp quirk's 0 - 1/mu term in an
+    arbitrary basis), and the reference is observed to never emit
+    null-frame segments.  This pinned scene made the pre-fix rebuild emit
+    two phantom fn=-1 events (found by tools/parity_fuzz.py scene 0)."""
+    video = make_video(
+        seed=1923779129, n_frames=45, H=240, W=320, n_entering=0,
+        n_crossing=0, n_vanishing=2, noise=3, dot=5, brightness_drift=0.15,
+    )
+    result = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, tracker_impl=impl,
+    )
+    fns = sorted(ev.frame_number for ev in result.events)
+    assert all(fn >= 0 for fn in fns), f"phantom null-frame events: {fns}"
+
+    events_o, labels_o = reference_pipeline(video.frames, video.corners, video.fps)
+    assert fns == sorted(fn for _, _, fn in events_o)
+    assert result.total_predicted == sum(labels_o)
+    assert result.total_rejected == len(labels_o) - sum(labels_o)
