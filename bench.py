@@ -363,6 +363,35 @@ def _arm_watchdog():
     return t
 
 
+def data_plane_preflight(secs: float | None = None) -> bool:
+    """device_put + readback (no compile) in a daemon thread.
+
+    Returns False when the roundtrip does not finish within `secs`
+    (default BENCH_PREFLIGHT_SECS, 300 s) — a full axon tunnel outage,
+    distinct from a compile-service brownout (CLAUDE.md rig notes).  A hung
+    PJRT call is not interruptible from Python, hence the daemon thread.
+    Reused by tools/batch_sweep.py and other on-chip harnesses (ADVICE r4)."""
+    import threading as _threading
+
+    if secs is None:
+        secs = float(os.environ.get("BENCH_PREFLIGHT_SECS", "300"))
+    if secs <= 0:
+        return True
+    ok = _threading.Event()
+
+    def _probe():
+        import jax as _jax
+
+        x = _jax.device_put(np.arange(1024, dtype=np.float32))
+        np.asarray(x)
+        ok.set()
+
+    th = _threading.Thread(target=_probe, daemon=True)
+    th.start()
+    th.join(secs)
+    return ok.is_set()
+
+
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--frames", type=int, default=1680)
@@ -405,21 +434,7 @@ def main():
     # interruptible from Python.
     preflight = float(os.environ.get("BENCH_PREFLIGHT_SECS", "300"))
     if preflight > 0:
-        import threading as _threading
-
-        ok = _threading.Event()
-
-        def _probe():
-            import jax as _jax
-
-            x = _jax.device_put(np.arange(1024, dtype=np.float32))
-            np.asarray(x)
-            ok.set()
-
-        th = _threading.Thread(target=_probe, daemon=True)
-        th.start()
-        th.join(preflight)
-        if not ok.is_set():
+        if not data_plane_preflight(preflight):
             err = {
                 "metric": "1080p_frames_per_sec_per_chip",
                 "value": 0,

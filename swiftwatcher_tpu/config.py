@@ -112,6 +112,13 @@ class PipelineConfig:
     # side (rare — birds are small) fall back to the host PIL path.
     cnn_device_preprocess: bool = True
     cnn_max_seg_hw: int = 64
+    # Fuse the CNN keep-mask into the tracking-scan program (device tracker
+    # only): one dispatch + one meta upload per batch instead of the r4
+    # path's separate classify program (3 uploads + keep readback + track
+    # dispatch each paid a ~35 ms tunnel round trip — VERDICT r4 #1).
+    # Bit-identical keep decisions by construction (pipeline/classify_fused
+    # .py); False restores the two-program path for A/Bs.
+    classify_fused: bool = True
 
     # ----- execution ---------------------------------------------------------
     # Compute dtype for the IALM loop.  float32 is the TPU-native choice; the

@@ -97,6 +97,11 @@ def preprocess_segment(img_bgr: np.ndarray, cfg: PipelineConfig = DEFAULT_CONFIG
 class SqueezeNetSegmentFilter:
     """segment_filter hook for pipeline.runner.run_video."""
 
+    # device-tracker runs may fuse this filter's CNN into the tracking-scan
+    # program (pipeline/classify_fused.py); user-supplied batchable filters
+    # without this attribute keep the two-program path
+    supports_fused = True
+
     def __init__(self, params, cfg: PipelineConfig = DEFAULT_CONFIG):
         self.params = {k: jnp.asarray(v) for k, v in params.items()}
         self.cfg = cfg

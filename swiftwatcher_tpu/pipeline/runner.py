@@ -375,6 +375,14 @@ def run_video(
                 packed = jnp.stack(
                     (kvalid.astype(jnp.int32),) + tuple(bbox)
                 )
+                try:
+                    # start the device->host copy NOW so consume's
+                    # np.asarray finds the bytes already landed (the copy
+                    # overlaps the next batch's prefetch/dispatch instead
+                    # of being its own blocking ~35 ms round trip)
+                    packed.copy_to_host_async()
+                except AttributeError:
+                    pass
                 return table, iters, wins, cursor, (
                     "classify", cy, cx, kvalid, overflow, fns, active,
                     packed,
@@ -436,33 +444,88 @@ def run_video(
                 for t in range(T)
                 if view.valid[b, t].any()
             }
-            with annotate("classify"):
-                keep_masks = segment_filter.batch_call(
-                    view, frames_by_bt, crop_region, **_filter_timer_kw
+            # FUSED CLASSIFY (VERDICT r4 #1): one program per batch — CNN
+            # preprocessing + forward + keep-mask scatter + tracking scan —
+            # with a single packed meta upload and only event buffers read
+            # back.  Falls back to the two-program path when a crop exceeds
+            # every device canvas bucket or classify_fused=False.
+            fused_args = None
+            if (
+                cfg.classify_fused
+                and frames_by_bt
+                and getattr(segment_filter, "supports_fused", False)
+            ):
+                from .classify_fused import classify_track_fused, pack_fused
+
+                with annotate("classify_pack"):
+                    fused_args = pack_fused(
+                        segment_filter, view, frames_by_bt, crop_region,
+                        timers=metrics.stage_seconds,
+                    )
+            if fused_args is not None:
+                canv, meta, mx = fused_args
+                coeff = segment_filter._coeff_table(mx)
+                t0 = _time.perf_counter()
+                with annotate("classify_track_fused"):
+                    dev_state, evs, n_kept = classify_track_fused(
+                        segment_filter.params, coeff,
+                        jnp.asarray(canv), jnp.asarray(meta),
+                        dev_state, roi_dev, cy, cx, kvalid, fns, active,
+                        cfg, cfg.track_scan_chunk,
+                    )
+                metrics.stage_seconds["classify_device"] = (
+                    metrics.stage_seconds.get("classify_device", 0.0)
+                    + (_time.perf_counter() - t0)
                 )
-            keep = np.ones((B, T, K), bool)
-            n_seg = 0
-            for (b, t), kl in keep_masks.items():
-                n_seg += sum(1 for k in kl if k)
-                for j, keep_j in enumerate(kl[:K]):
-                    keep[b, t, j] = keep_j
-            metrics.segments_total += n_seg
-            with annotate("track_dispatch"):
-                dev_state, evs = track_window(
-                    dev_state,
-                    roi_dev,
-                    cy.reshape(B * T, -1),
-                    cx.reshape(B * T, -1),
-                    (kvalid & jnp.asarray(keep)).reshape(B * T, -1),
-                    fns,
-                    cfg,
-                    active=active,
-                    chunk=cfg.track_scan_chunk,
-                )
-            ev = (evs, overflow, dev_state)
+                ev = (evs, overflow, dev_state, n_kept)
+            elif frames_by_bt:
+                with annotate("classify"):
+                    keep_masks = segment_filter.batch_call(
+                        view, frames_by_bt, crop_region, **_filter_timer_kw
+                    )
+                keep = np.ones((B, T, K), bool)
+                n_seg = 0
+                for (b, t), kl in keep_masks.items():
+                    n_seg += sum(1 for k in kl if k)
+                    for j, keep_j in enumerate(kl[:K]):
+                        keep[b, t, j] = keep_j
+                metrics.segments_total += n_seg
+                with annotate("track_dispatch"):
+                    dev_state, evs = track_window(
+                        dev_state,
+                        roi_dev,
+                        cy.reshape(B * T, -1),
+                        cx.reshape(B * T, -1),
+                        (kvalid & jnp.asarray(keep)).reshape(B * T, -1),
+                        fns,
+                        cfg,
+                        active=active,
+                        chunk=cfg.track_scan_chunk,
+                    )
+                ev = (evs, overflow, dev_state)
+            else:
+                # no valid segments anywhere in the batch: nothing to
+                # classify — track directly (kvalid already gated)
+                with annotate("track_dispatch"):
+                    dev_state, evs = track_window(
+                        dev_state,
+                        roi_dev,
+                        cy.reshape(B * T, -1),
+                        cx.reshape(B * T, -1),
+                        kvalid.reshape(B * T, -1),
+                        fns,
+                        cfg,
+                        active=active,
+                        chunk=cfg.track_scan_chunk,
+                    )
+                ev = (evs, overflow, dev_state)
         if use_device_tracker:
-            ev, overflow, state_snapshot = ev
-            ev = jax.tree.map(np.asarray, ev)  # waits for the device
+            ev, overflow, state_snapshot, *rest = ev
+            # one tree.map waits for the device once; `rest` is the fused
+            # classify path's n_kept scalar riding the same readback
+            ev, *rest = jax.tree.map(np.asarray, (ev, *rest))
+            if rest:
+                metrics.segments_total += int(rest[0])
             # Only count real windows: slots beyond len(wins) are zero-padded
             # batch fillers whose RPCA/label content is meaningless.
             metrics.track_overflows += int(
@@ -526,11 +589,15 @@ def run_video(
         # the host link round trip per non-empty frame — VERDICT r2 #2).
         keep_masks = None
         if segment_filter is not None and hasattr(segment_filter, "batch_call"):
+            # numbers[t] >= 0 mirrors the device path's kvalid gate: null
+            # frames (fn = -1) carry only solver-dependent RPCA noise whose
+            # centroids are forced empty below anyway — classifying them is
+            # wasted CNN forwards + host crops (ADVICE r4).
             frames_by_bt = {
                 (b, t): frames[t]
-                for b, (frames, _, _) in enumerate(wins)
+                for b, (frames, numbers, _) in enumerate(wins)
                 for t in range(cfg.window_size)
-                if table.valid[b, t].any()
+                if numbers[t] >= 0 and table.valid[b, t].any()
             }
             with annotate("classify"):
                 keep_masks = segment_filter.batch_call(

@@ -250,3 +250,49 @@ def test_classify_checkpoint_resume_host(tmp_path, video):
     assert _events_key(resumed) == _events_key(full)
     assert resumed.total_predicted == full.total_predicted
     assert resumed.total_rejected == full.total_rejected
+
+
+def test_fused_classify_equals_unfused(video):
+    """VERDICT r4 #1: the single fused classify+track program must be
+    result-identical to the two-program path (same CNN, same keep-mask
+    semantics, same scan) — and must count kept segments identically in
+    metrics.segments_total."""
+    from swiftwatcher_tpu.models.classifier import SqueezeNetSegmentFilter
+
+    filt = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
+    fused = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        dataclasses.replace(DEFAULT_CONFIG, classify_fused=True),
+        segment_filter=filt, tracker_impl="device",
+    )
+    unfused = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        dataclasses.replace(DEFAULT_CONFIG, classify_fused=False),
+        segment_filter=filt, tracker_impl="device",
+    )
+    assert _events_key(fused) == _events_key(unfused)
+    assert fused.total_predicted == unfused.total_predicted
+    assert fused.total_rejected == unfused.total_rejected
+    assert fused.metrics.segments_total == unfused.metrics.segments_total
+
+
+def test_fused_classify_oversize_fallback(video, monkeypatch):
+    """A crop exceeding every canvas bucket makes pack_fused return None;
+    the runner must fall back to the two-program path with identical
+    results (mirrors classify_images' host-PIL fallback)."""
+    from swiftwatcher_tpu.models.classifier import SqueezeNetSegmentFilter
+
+    filt = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
+    baseline = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, segment_filter=filt, tracker_impl="device",
+    )
+    monkeypatch.setattr(
+        SqueezeNetSegmentFilter, "_canvas_bucket", lambda self, images: 0
+    )
+    fallback = run_video(
+        ArraySource(video.frames, fps=video.fps), video.corners,
+        DEFAULT_CONFIG, segment_filter=filt, tracker_impl="device",
+    )
+    assert _events_key(fallback) == _events_key(baseline)
+    assert fallback.total_predicted == baseline.total_predicted

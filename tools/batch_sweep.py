@@ -33,6 +33,15 @@ def main() -> None:
     ap.add_argument("--batches", type=int, nargs="+", default=[32, 64])
     args = ap.parse_args()
 
+    # Same outage hygiene as bench.main() (ADVICE r4): a dark tunnel must
+    # produce a fail-fast error line, not an indefinite hang.
+    bench._arm_watchdog()
+    if not bench.data_plane_preflight():
+        print(json.dumps({"error": "preflight: device_put+readback did not "
+                          "complete — axon tunnel outage; no sweep taken"}),
+              flush=True)
+        sys.exit(3)
+
     # Same reference-like 1080p scene bench.main() measures on.
     video = bench.make_video(
         seed=0, n_frames=63, H=1080, W=1920,

@@ -8,11 +8,19 @@ equality — predicted/rejected totals and event frame numbers — between
 reference-semantics oracle, itself differentially validated against the
 actual reference code in tests/test_reference_differential.py).
 
+Every --classify-every'th scene ADDITIONALLY runs both trackers with the
+real shipped SqueezeNet segment filter and asserts device-vs-host mutual
+equality (the oracle has no CNN, so classify parity is cross-impl; the
+classifier itself is differentially tested against the reference model in
+tests/test_reference_differential.py).
+
 Emits one JSON line per scene and a summary artifact (PARITY_FUZZ_rNN.json)
-with every scene's parameters, so failures are reproducible by seed.
+with every scene's parameters, so failures are reproducible by seed.  The
+artifact is REWRITTEN after every scene (ADVICE r4: a mid-campaign crash
+must not lose the machine-readable record of finished scenes).
 
 CPU-only by design (no chip contention): run with
-    python tools/parity_fuzz.py --scenes 40 --out PARITY_FUZZ_r04.json
+    python tools/parity_fuzz.py --scenes 100 --out PARITY_FUZZ_r05.json
 """
 
 from __future__ import annotations
@@ -59,19 +67,51 @@ def scene_params(rng: np.random.Generator, idx: int) -> dict:
     )
 
 
-def main() -> None:
-    ap = argparse.ArgumentParser()
-    ap.add_argument("--scenes", type=int, default=40)
-    ap.add_argument("--campaign-seed", type=int, default=20260820)
-    ap.add_argument("--out", type=str, default=None)
-    args = ap.parse_args()
+def _counts(res) -> dict:
+    return dict(
+        predicted=res.total_predicted,
+        rejected=res.total_rejected,
+        fns=sorted(ev.frame_number for ev in res.events),
+    )
 
-    rng = np.random.default_rng(args.campaign_seed)
+
+def run_campaign(scenes: int, campaign_seed: int = 20260820,
+                 out: str | None = None, classify_every: int = 5) -> dict:
+    """Run the campaign; returns the summary dict (also written to `out`
+    after EVERY scene so a crash loses at most the in-flight scene)."""
+    rng = np.random.default_rng(campaign_seed)
     results = []
     mismatches = 0
     t_start = time.perf_counter()
 
-    for i in range(args.scenes):
+    clf = None
+    if classify_every > 0:
+        from swiftwatcher_tpu.models.classifier import SqueezeNetSegmentFilter
+
+        clf = SqueezeNetSegmentFilter.from_default_weights(DEFAULT_CONFIG)
+
+    def summarize():
+        return dict(
+            scenes=len(results),
+            scenes_requested=scenes,
+            mismatches=mismatches,
+            campaign_seed=campaign_seed,
+            classify_every=classify_every,
+            elapsed_s=round(time.perf_counter() - t_start, 1),
+            note=(
+                "Randomized e2e parity fuzz: run_video (alternating device/"
+                "host tracker) vs tests/oracle_pipeline.reference_pipeline; "
+                "equality on predicted/rejected totals AND sorted event "
+                "frame numbers.  Every classify_every'th scene also runs "
+                "both trackers with the shipped SqueezeNet filter and "
+                "asserts device-vs-host mutual equality.  The oracle is "
+                "itself differentially validated against the real reference "
+                "code (tests/test_reference_differential.py)."
+            ),
+            results=results,
+        )
+
+    for i in range(scenes):
         params = scene_params(rng, i)
         tracker = "device" if i % 2 == 0 else "host"
         video = make_video(**params)
@@ -84,42 +124,55 @@ def main() -> None:
         events_o, labels_o = reference_pipeline(
             video.frames, video.corners, video.fps
         )
-        ours = dict(
-            predicted=res.total_predicted,
-            rejected=res.total_rejected,
-            fns=sorted(ev.frame_number for ev in res.events),
-        )
+        ours = _counts(res)
         oracle = dict(
             predicted=int(sum(labels_o)),
             rejected=int(len(labels_o) - sum(labels_o)),
             fns=sorted(fn for _, _, fn in events_o),
         )
         ok = ours == oracle
-        mismatches += 0 if ok else 1
         row = dict(scene=i, tracker=tracker, ok=ok, params=params,
                    ours=ours, oracle=oracle)
+        if clf is not None and i % classify_every == 0:
+            cd = run_video(
+                ArraySource(video.frames, fps=video.fps), video.corners,
+                DEFAULT_CONFIG, tracker_impl="device", segment_filter=clf,
+            )
+            ch = run_video(
+                ArraySource(video.frames, fps=video.fps), video.corners,
+                DEFAULT_CONFIG, tracker_impl="host", segment_filter=clf,
+            )
+            row["classify_device"] = _counts(cd)
+            row["classify_host"] = _counts(ch)
+            row["classify_ok"] = row["classify_device"] == row["classify_host"]
+            ok = ok and row["classify_ok"]
+            row["ok"] = ok
+        mismatches += 0 if ok else 1
         print(json.dumps(row), flush=True)
         results.append(row)
+        if out:  # rewrite after every scene (crash-safe; ADVICE r4)
+            Path(out).write_text(json.dumps(summarize(), indent=1))
 
-    summary = dict(
-        scenes=args.scenes,
-        mismatches=mismatches,
-        campaign_seed=args.campaign_seed,
-        elapsed_s=round(time.perf_counter() - t_start, 1),
-        note=(
-            "Randomized e2e parity fuzz: run_video (alternating device/host "
-            "tracker) vs tests/oracle_pipeline.reference_pipeline; equality "
-            "on predicted/rejected totals AND sorted event frame numbers. "
-            "The oracle is itself differentially validated against the real "
-            "reference code (tests/test_reference_differential.py)."
-        ),
-        results=results,
-    )
+    summary = summarize()
     print(json.dumps({"summary": {k: v for k, v in summary.items()
                                   if k != "results"}}), flush=True)
-    if args.out:
-        Path(args.out).write_text(json.dumps(summary, indent=1))
-    sys.exit(1 if mismatches else 0)
+    if out:
+        Path(out).write_text(json.dumps(summary, indent=1))
+    return summary
+
+
+def main() -> None:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--scenes", type=int, default=40)
+    ap.add_argument("--campaign-seed", type=int, default=20260820)
+    ap.add_argument("--out", type=str, default=None)
+    ap.add_argument("--classify-every", type=int, default=5,
+                    help="every Nth scene also fuzzes the classify path "
+                    "(device vs host tracker mutual equality); 0 disables")
+    args = ap.parse_args()
+    summary = run_campaign(args.scenes, args.campaign_seed, args.out,
+                           args.classify_every)
+    sys.exit(1 if summary["mismatches"] else 0)
 
 
 if __name__ == "__main__":
