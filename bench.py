@@ -273,7 +273,7 @@ def host_decode_fps(video, cfg, passes=6):
         return round(best, 1), "cv2_gray_host"
 
 
-def e2e_from_container_fps(cfg, video, loops=10):
+def e2e_from_container_fps(cfg, video, loops=10, samples=3):
     """Full product path from an ACTUAL container file: H.264 MP4 ->
     VideoFileSource (native libav gray-crop decode when the probe engages)
     -> wire -> chip -> events (VERDICT r3 #4).
@@ -282,9 +282,18 @@ def e2e_from_container_fps(cfg, video, loops=10):
     consumes the file exactly as the CLI would.  On this 1-core rig the
     figure documents the honest decode-capped composition (~host_decode
     fps); on a multicore fast-link host the chunk-parallel decoder scales
-    it by cores.  Returns (fps, counts_equal, backend) where counts_equal
-    asserts event parity against an ArraySource run over the SAME tiled
-    frames — or (None, None, None) if no H.264 encoder exists."""
+    it by cores.
+
+    Measurement hygiene (VERDICT r4 #2: the committed r4 figure was a
+    single COLD run that ate fresh remote compiles — minutes on this rig —
+    and recorded 15.5 fps against an in-round warm 110.5): an untimed
+    warm-up run pays every compile for this source's batch shapes, then
+    the best of `samples` timed runs is reported, same as the other e2e
+    samples (the tunnel rate swings 4-36 MB/s over minutes).
+
+    Returns (fps, counts_equal, backend, sample_fps) where counts_equal
+    asserts event parity against an ArraySource run over the SAME decoded
+    frames — or (None, None, None, None) if no H.264 encoder exists."""
     import tempfile
 
     from swiftwatcher_tpu.io import native_av
@@ -294,12 +303,19 @@ def e2e_from_container_fps(cfg, video, loops=10):
     with tempfile.TemporaryDirectory() as td:
         p = os.path.join(td, "e2e_container.mp4")
         if not native_av.write_test_video(p, tiled, fps=video.fps):
-            return None, None, None
+            return None, None, None, None
         src = VideoFileSource(p)
         backend = src.backend
-        start = time.perf_counter()
         res = run_video(src, video.corners, cfg, tracker_impl="device")
-        fps = res.frames_processed / (time.perf_counter() - start)
+        sample_fps = []
+        for _ in range(samples):
+            src = VideoFileSource(p)  # fresh cursor, warm programs
+            start = time.perf_counter()
+            res = run_video(src, video.corners, cfg, tracker_impl="device")
+            sample_fps.append(
+                round(res.frames_processed / (time.perf_counter() - start), 1)
+            )
+        fps = max(sample_fps)
 
         # parity reference: the same DECODED pixels (H.264 is lossy, so the
         # raw tiled array is not the comparison point; the av/parallel
@@ -323,7 +339,7 @@ def e2e_from_container_fps(cfg, video, loops=10):
         and res.total_rejected == ref.total_rejected
         and len(res.events) == len(ref.events)
     )
-    return round(fps, 1), counts_equal, backend
+    return round(fps, 1), counts_equal, backend, sample_fps
 
 
 def _arm_watchdog():
@@ -536,9 +552,11 @@ def main():
     # Full product path over an actual H.264 container (VERDICT r3 #4):
     # decode -> wire -> chip -> events under the driver.  On this 1-core
     # rig it is decode-capped; on real hardware it is the true headline.
-    fc_fps, fc_counts_equal, fc_backend = None, None, None
+    fc_fps, fc_counts_equal, fc_backend, fc_samples = None, None, None, None
     try:
-        fc_fps, fc_counts_equal, fc_backend = e2e_from_container_fps(cfg, video)
+        fc_fps, fc_counts_equal, fc_backend, fc_samples = (
+            e2e_from_container_fps(cfg, video)
+        )
     except Exception as e:
         print(f"[bench] from-container sample failed: {e}", file=sys.stderr)
 
@@ -618,6 +636,11 @@ def main():
                     "e2e_from_container_fps": fc_fps,
                     "from_container_counts_equal": fc_counts_equal,
                     "from_container_backend": fc_backend,
+                    # warm best-of-3 like the other e2e samples (VERDICT r4
+                    # #2: the r4 figure was a single cold run that ate
+                    # remote compiles); the sample is bound by
+                    # min(host_decode_fps on this 1-core rig, tunnel rate)
+                    "from_container_samples_fps": fc_samples,
                     "events": len(result.events),
                     "predicted": result.total_predicted,
                     "batch_windows": cfg.batch_windows,

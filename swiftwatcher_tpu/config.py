@@ -166,6 +166,15 @@ class PipelineConfig:
     # flag on (tests/test_rpca_storage.py).  Only applied when rpca_dtype is
     # float32 (f64 runs are strict-parity validation).
     rpca_state_bf16: bool = True
+    # Opt-in fixed-trip IALM (VERDICT r4 #4a): run EXACTLY this many
+    # iterations as a fori_loop, dropping the stopping-criterion Z-norm
+    # reduction and the per-window freeze masks.  Bit-identical to the
+    # dynamic loop when every window's dynamic count equals this value
+    # (measured production behavior: spread ZERO at 15 iters on the bench
+    # scene), DIVERGENT otherwise — so default 0 keeps the reference-exact
+    # dynamic stopping (image_filtering.py:256-301).  A/B:
+    # tools/rpca_fixed_ab.py.
+    rpca_fixed_iters: int = 0
     # Decode HDF5 JPEG frames with the native C++ pump straight to cropped
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
     # IDCT may differ from cv2's bundled build by +-1 count per pixel.

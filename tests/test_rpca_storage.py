@@ -102,3 +102,37 @@ def test_e2e_counts_unchanged_by_storage_knobs():
         res = run_video(src, video.corners, cfg)
         results.append((res.total_predicted, res.total_rejected, len(res.events)))
     assert results[0] == results[1]
+
+
+def test_fixed_trip_equals_dynamic_when_counts_match(rng):
+    """rpca_fixed_iters (VERDICT r4 #4a): with every window forced to run
+    exactly N dynamic iterations (tol=0 -> all active through max_iter=N),
+    the fixed-trip fori_loop must be BIT-IDENTICAL — same update math,
+    minus the stopping-criterion norms and the all-True freeze masks."""
+    X = _batch(rng)
+    A_d, E_d, it_d = ialm_rpca_batched(X, tol=0.0, max_iter=6)
+    A_f, E_f, it_f = ialm_rpca_batched(X, fixed_iters=6)
+    assert (np.asarray(it_d) == 6).all()
+    assert (np.asarray(it_f) == 6).all()
+    assert np.array_equal(np.asarray(A_d), np.asarray(A_f))
+    assert np.array_equal(np.asarray(E_d), np.asarray(E_f))
+
+
+def test_fixed_trip_pipeline_wiring(rng):
+    """cfg.rpca_fixed_iters reaches the solver through ialm_gates_and_kwargs
+    (with the shipped storage dtypes + warm basis on), bit-identical to the
+    dynamic path under the same forced iteration count."""
+    import jax.numpy as jnp
+
+    from swiftwatcher_tpu.ops.rpca import rpca_motion_window_batched
+
+    wins = np.stack(
+        [make_synthetic_window(rng, T=21, H=24, W=32) for _ in range(2)]
+    ).astype(np.uint8)
+    cfg_dyn = dataclasses.replace(DEFAULT_CONFIG, rpca_tol=0.0, rpca_max_iter=5)
+    cfg_fix = dataclasses.replace(DEFAULT_CONFIG, rpca_fixed_iters=5)
+    m_d, it_d = rpca_motion_window_batched(jnp.asarray(wins), cfg_dyn)
+    m_f, it_f = rpca_motion_window_batched(jnp.asarray(wins), cfg_fix)
+    assert (np.asarray(it_d) == 5).all()
+    assert (np.asarray(it_f) == 5).all()
+    assert np.array_equal(np.asarray(m_d), np.asarray(m_f))
