@@ -17,6 +17,7 @@
 //
 // Build: g++ -O3 -shared -fPIC avpump.cpp -lavformat -lavcodec -lswscale -lavutil
 
+#include <algorithm>
 #include <cmath>
 #include <cstdint>
 #include <cstring>
@@ -476,8 +477,15 @@ int swt_av_read_gray_crop(void *handle, int y1, int y2, int x1, int x2,
 // tests on the reference's real capture format (H.264 MP4): the cv2 wheel's
 // bundled FFmpeg ships no H.264 ENCODER, so test H.264 streams must be
 // fabricated through the system libavcodec.  Returns 0 on success.
-int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
-                      int w, double fps, const char *codec_name) {
+// Shared encode body for the CFR and VFR test-fixture writers.  pts_arr ==
+// nullptr means constant frame rate (pts = i, one tick per frame); a
+// non-null pts_arr (n strictly-ascending stamps in `tb` units) produces a
+// genuinely variable-frame-rate stream: per-packet durations are the pts
+// deltas, and the stream framerate is left unspecified so the container
+// derives only an AVERAGE rate — what real VFR captures look like.
+static int write_test_impl(const char *path, const uint8_t *bgr, int n, int h,
+                           int w, AVRational tb, const int64_t *pts_arr,
+                           const char *codec_name) {
   const AVCodec *codec = avcodec_find_encoder_by_name(codec_name);
   if (!codec) return -1;
   AVFormatContext *fmt = nullptr;
@@ -489,10 +497,6 @@ int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
   AVFrame *frame = nullptr;
   AVPacket *pkt = nullptr;
   AVStream *st = avformat_new_stream(fmt, codec);
-  // timebase = 1/fps with fps as an exact rational (1/fps through av_d2q
-  // picks an inexact denominator that skews duration and drops the final
-  // delayed frame at decode)
-  AVRational tb = av_inv_q(av_d2q(fps, 1 << 16));
   do {
     if (!st) break;
     enc = avcodec_alloc_context3(codec);
@@ -500,7 +504,7 @@ int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
     enc->width = w;
     enc->height = h;
     enc->time_base = tb;
-    enc->framerate = av_inv_q(tb);
+    if (!pts_arr) enc->framerate = av_inv_q(tb);  // VFR: leave unspecified
     enc->pix_fmt = AV_PIX_FMT_YUV420P;
     enc->gop_size = 12;
     // no B-frames: with reordering, the mp4 edit-list/dts-shift interplay
@@ -557,7 +561,7 @@ int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
         if (av_frame_make_writable(frame) < 0) { failed = true; break; }
         sws_scale(sws, src_data, src_stride, 0, h, frame->data,
                   frame->linesize);
-        frame->pts = i;
+        frame->pts = pts_arr ? pts_arr[i] : i;
         send = frame;
       }
       if (avcodec_send_frame(enc, send) < 0) { failed = true; break; }
@@ -565,9 +569,25 @@ int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
         int r = avcodec_receive_packet(enc, pkt);
         if (r == AVERROR(EAGAIN) || r == AVERROR_EOF) break;
         if (r < 0) { failed = true; break; }
-        if (pkt->duration == 0) pkt->duration = 1;  // one frame in enc tb;
-        // without it the mp4 muxer records a 0-length final sample and the
-        // container's duration/avg_frame_rate come out short by one frame
+        if (pkt->duration == 0) {
+          // without a duration the mp4 muxer records a 0-length final
+          // sample and the container's duration/avg_frame_rate come out
+          // short by one frame
+          if (!pts_arr) {
+            pkt->duration = 1;  // CFR: one frame in enc tb
+          } else {
+            // VFR: the packet's duration is ITS frame's pts delta (no
+            // B-frames, so pkt->pts is one of our ascending stamps)
+            const int64_t *e =
+                std::lower_bound(pts_arr, pts_arr + n, pkt->pts);
+            int idx = (int)(e - pts_arr);
+            if (idx + 1 < n)
+              pkt->duration = pts_arr[idx + 1] - pts_arr[idx];
+            else
+              pkt->duration =
+                  (n >= 2) ? pts_arr[n - 1] - pts_arr[n - 2] : 1;
+          }
+        }
         av_packet_rescale_ts(pkt, enc->time_base, st->time_base);
         pkt->stream_index = st->index;
         if (av_interleaved_write_frame(fmt, pkt) < 0) { failed = true; break; }
@@ -586,6 +606,29 @@ int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
     avformat_free_context(fmt);
   }
   return rc;
+}
+
+int swt_av_write_test(const char *path, const uint8_t *bgr, int n, int h,
+                      int w, double fps, const char *codec_name) {
+  // timebase = 1/fps with fps as an exact rational (1/fps through av_d2q
+  // picks an inexact denominator that skews duration and drops the final
+  // delayed frame at decode)
+  AVRational tb = av_inv_q(av_d2q(fps, 1 << 16));
+  return write_test_impl(path, bgr, n, h, w, tb, nullptr, codec_name);
+}
+
+// Variable-frame-rate fixture writer: pts (n strictly-ascending stamps in
+// units of 1/tb_den seconds) times each frame individually.  No reference
+// counterpart — real chimney captures are VFR-prone (auto-exposure cameras
+// drop/stretch frames) and the reference's CAP_PROP_FPS timestamping sees
+// only the container's average rate (io_video.py:137-165); this writer
+// fabricates such streams for the accuracy corpus and reader tests.
+int swt_av_write_test_pts(const char *path, const uint8_t *bgr, int n, int h,
+                          int w, int tb_den, const int64_t *pts,
+                          const char *codec_name) {
+  if (!pts || tb_den <= 0) return -1;
+  AVRational tb = {1, tb_den};
+  return write_test_impl(path, bgr, n, h, w, tb, pts, codec_name);
 }
 
 }  // extern "C"

@@ -115,6 +115,14 @@ def _load() -> Optional[ctypes.CDLL]:
                 ctypes.c_int, ctypes.c_double, ctypes.c_char_p,
             ]
             wt.restype = ctypes.c_int
+        wp = getattr(lib, "swt_av_write_test_pts", None)
+        if wp is not None:  # optional: stale cached builds may predate it
+            wp.argtypes = [
+                ctypes.c_char_p, u8p, ctypes.c_int, ctypes.c_int,
+                ctypes.c_int, ctypes.c_int, ctypes.POINTER(ctypes.c_int64),
+                ctypes.c_char_p,
+            ]
+            wp.restype = ctypes.c_int
         _lib = lib
         return _lib
 
@@ -269,6 +277,38 @@ def write_test_video(path, frames: np.ndarray, fps: float = 25.0,
         str(path).encode(),
         frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
         n, h, w, float(fps), codec.encode(),
+    )
+    return rc == 0
+
+
+def write_test_video_vfr(path, frames: np.ndarray, pts_seconds,
+                         timebase_den: int = 90000,
+                         codec: str = "libx264") -> bool:
+    """Encode (N, H, W, 3) uint8 BGR frames into a genuinely VARIABLE
+    frame-rate MP4: pts_seconds gives each frame's presentation time.
+
+    Real chimney captures are VFR-prone (auto-exposure cameras stretch and
+    drop frames); the reference timestamps frames as index / CAP_PROP_FPS
+    (io_video.py:137-165), which for VFR streams is only the container's
+    AVERAGE rate.  This fabricates such streams for the accuracy corpus
+    and reader tests — no CFR re-timing tool exists on this rig."""
+    lib = _load()
+    if lib is None or getattr(lib, "swt_av_write_test_pts", None) is None:
+        return False
+    frames = np.ascontiguousarray(frames, np.uint8)
+    n, h, w, _ = frames.shape
+    pts = np.asarray(
+        np.round(np.asarray(pts_seconds, np.float64) * timebase_den), np.int64
+    )
+    if len(pts) != n or (np.diff(pts) <= 0).any():
+        raise ValueError("pts_seconds must give one strictly-ascending "
+                         "stamp per frame")
+    rc = lib.swt_av_write_test_pts(
+        str(path).encode(),
+        frames.ctypes.data_as(ctypes.POINTER(ctypes.c_uint8)),
+        n, h, w, int(timebase_den),
+        pts.ctypes.data_as(ctypes.POINTER(ctypes.c_int64)),
+        codec.encode(),
     )
     return rc == 0
 

@@ -69,3 +69,63 @@ def test_hard_scene_ground_truth_well_formed(name):
     assert all(0 < fn < n for fn in video.entry_frames), video.entry_frames
     assert video.frames.shape == (n, BASE["H"], BASE["W"], 3)
     assert video.frames.dtype.kind == "u"
+
+
+def test_blur_scene_is_detectable(tmp_path):
+    """r5 footage-physics family (VERDICT r4 #5): motion-blurred sprites at
+    a 1/60 s-shutter smear must still be fully detected on the quiet scene
+    — blur dims the sparse term but must not starve it below threshold."""
+    r = run_scene("blur_shutter", SCENES["blur_shutter"], tmp_path, "second")
+    det = r["scores"]["detection"]
+    assert det.f1 == 1.0, (det.tp, det.fp, det.missed)
+
+
+def test_container_scene_routes_through_real_codec(tmp_path):
+    """h264_blur runs through an ACTUAL encoded container (VideoFileSource
+    decode), not the array path; the true entries survive recompression."""
+    from swiftwatcher_tpu.io import native_av
+
+    if not native_av.is_available():
+        import pytest
+
+        pytest.skip("no libav toolchain on this host")
+    r = run_scene("h264_blur", SCENES["h264_blur"], tmp_path, "second")
+    if r is None:
+        import pytest
+
+        pytest.skip("no H.264 encoder on this host")
+    det = r["scores"]["detection"]
+    assert det.tp + det.missed == len(r["video"].entry_frames)
+    assert det.recall >= 2 / 3  # entries must not be lost wholesale
+
+
+def test_vfr_scene_ground_truth_on_container_clock(tmp_path):
+    """vfr_capture: ground truth must be stamped on the CONTAINER's average
+    rate (what the pipeline times events with), so at second granularity
+    every true entry still scores as a TP — the scene's FPs, if any, are
+    codec ghosting, not a clock mismatch."""
+    from swiftwatcher_tpu.io import native_av
+
+    if not native_av.is_available():
+        import pytest
+
+        pytest.skip("no libav toolchain on this host")
+    r = run_scene("vfr_capture", SCENES["vfr_capture"], tmp_path, "second")
+    if r is None:
+        import pytest
+
+        pytest.skip("no H.264 encoder on this host")
+    det = r["scores"]["detection"]
+    assert det.missed == 0, (det.tp, det.fp, det.missed)
+
+
+def test_blur_flicker_defaults_leave_pixels_untouched():
+    """motion_blur/flicker add ZERO rng draws when off: existing corpus
+    scenes' pixels are bit-identical to their r4 renders (scene names stay
+    comparable round-over-round)."""
+    import numpy as np
+
+    a = make_hard_video(**BASE, **SCENES["crowded"])
+    b = make_hard_video(**BASE, **SCENES["crowded"], motion_blur=0.0,
+                        flicker=0.0)
+    assert np.array_equal(a.frames, b.frames)
