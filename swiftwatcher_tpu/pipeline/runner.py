@@ -161,6 +161,54 @@ def run_video(
 
         roi_dev = jax.device_put(roi_mask)
         dev_state = empty_state(cfg.max_tracks)
+        # one-slot queue of not-yet-read-back event buffers (fused classify
+        # defers its readback one batch so the fused program's device time
+        # + the readback round trip overlap the NEXT batch's host work
+        # instead of sitting on the consume critical path)
+        deferred_ev = [None]
+
+        def _drain_device_events(ev, overflow, rest, n_wins):
+            """Read back one batch's event buffers and append its events.
+
+            The device tracker carries only frame NUMBERS through the scan;
+            timestamps are recomputed as frame_number / fps.  This matches
+            the host path exactly for every current source (ArraySource,
+            HDF5Source, VideoFileSource all stamp frames that way — see
+            io/readers.py frame_timestamp call sites), but a future source
+            with non-uniform timestamps must use tracker_impl="host"."""
+            from ..io.export import frame_timestamp
+            from ..io.readers import NULL_TIMESTAMP
+
+            ev, *rest = jax.tree.map(np.asarray, (ev, *rest))
+            if rest:  # fused classify: kept-segment count rides along
+                metrics.segments_total += int(rest[0])
+            # Only count real windows: slots beyond n_wins are zero-padded
+            # batch fillers whose RPCA/label content is meaningless.
+            metrics.track_overflows += int(
+                np.asarray(overflow)[:n_wins].sum()
+            )
+            if bool(ev.overflow):
+                raise RuntimeError("device tracker event buffer overflow")
+            assert getattr(source, "uniform_timestamps", True), (
+                "device tracker recomputes timestamps as frame/fps; source "
+                "declares non-uniform timestamps — use tracker_impl='host'"
+            )
+            for i in range(int(ev.count)):
+                fn = int(ev.last_fn[i])
+                tracker.events.append(
+                    Event(
+                        first_centroid=(
+                            float(ev.first_cy[i]), float(ev.first_cx[i])
+                        ),
+                        last_centroid=(
+                            float(ev.last_cy[i]), float(ev.last_cx[i])
+                        ),
+                        frame_number=fn,
+                        timestamp=frame_timestamp(fn, source.fps)
+                        if fn >= 0
+                        else NULL_TIMESTAMP,
+                    )
+                )
 
     frames_processed = 0
     if checkpoint_path is not None:
@@ -521,44 +569,24 @@ def run_video(
                 ev = (evs, overflow, dev_state)
         if use_device_tracker:
             ev, overflow, state_snapshot, *rest = ev
-            # one tree.map waits for the device once; `rest` is the fused
-            # classify path's n_kept scalar riding the same readback
-            ev, *rest = jax.tree.map(np.asarray, (ev, *rest))
             if rest:
-                metrics.segments_total += int(rest[0])
-            # Only count real windows: slots beyond len(wins) are zero-padded
-            # batch fillers whose RPCA/label content is meaningless.
-            metrics.track_overflows += int(
-                np.asarray(overflow)[: len(wins)].sum()
-            )
-            n = int(ev.count)
-            if bool(ev.overflow):
-                raise RuntimeError("device tracker event buffer overflow")
-            from ..io.export import frame_timestamp
-            from ..io.readers import NULL_TIMESTAMP
-
-            # The device tracker carries only frame NUMBERS through the scan;
-            # timestamps are recomputed as frame_number / fps.  This matches
-            # the host path exactly for every current source (ArraySource,
-            # HDF5Source, VideoFileSource all stamp frames that way — see
-            # io/readers.py frame_timestamp call sites), but a future source
-            # with non-uniform timestamps must use tracker_impl="host".
-            assert getattr(source, "uniform_timestamps", True), (
-                "device tracker recomputes timestamps as frame/fps; source "
-                "declares non-uniform timestamps — use tracker_impl='host'"
-            )
-            for i in range(n):
-                fn = int(ev.last_fn[i])
-                tracker.events.append(
-                    Event(
-                        first_centroid=(float(ev.first_cy[i]), float(ev.first_cx[i])),
-                        last_centroid=(float(ev.last_cy[i]), float(ev.last_cx[i])),
-                        frame_number=fn,
-                        timestamp=frame_timestamp(fn, source.fps)
-                        if fn >= 0
-                        else NULL_TIMESTAMP,
-                    )
-                )
+                # FUSED CLASSIFY: defer this batch's readback one batch.
+                # The async copies start the device->host transfers now;
+                # the fused program's device time and the round trip then
+                # overlap the next batch's prefetch/host work instead of
+                # blocking here.  Draining the PREVIOUS batch first keeps
+                # events chronological.
+                for leaf in jax.tree.leaves((ev, overflow, *rest)):
+                    try:
+                        leaf.copy_to_host_async()
+                    except AttributeError:
+                        pass
+                to_drain = deferred_ev[0]
+                deferred_ev[0] = (ev, overflow, rest, len(wins))
+                if to_drain is not None:
+                    _drain_device_events(*to_drain)
+            else:
+                _drain_device_events(ev, overflow, rest, len(wins))
             for b, (frames, numbers, stamps) in enumerate(wins):
                 ialm_iters.append(int(np.asarray(iters)[b]))
                 frames_processed += sum(1 for x in numbers if x >= 0)
@@ -574,6 +602,12 @@ def run_video(
                     source_fingerprint,
                 )
 
+                # the checkpoint pairs THIS batch's cursor with THIS
+                # batch's state — a deferred event buffer must land in
+                # tracker.events first or resume would drop its events
+                if deferred_ev[0] is not None:
+                    _drain_device_events(*deferred_ev[0])
+                    deferred_ev[0] = None
                 save_checkpoint_device(
                     checkpoint_path, cursor[0], frames_processed,
                     state_snapshot, tracker.events,
@@ -677,6 +711,11 @@ def run_video(
                 jax.profiler.stop_trace()
             except Exception:
                 pass
+
+    if use_device_tracker and deferred_ev[0] is not None:
+        # flush the last batch's deferred event buffers (fused classify)
+        _drain_device_events(*deferred_ev[0])
+        deferred_ev[0] = None
 
     events = tracker.events
     metrics.events = len(events)

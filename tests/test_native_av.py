@@ -302,3 +302,55 @@ def test_nonaligned_widths_deterministic_and_cv2_exact(tmp_path, width):
     # (c) gray-crop touching the right edge equals the host conversion
     crop = ((width - 48, 8), (width, 56))
     assert native_av.probe_gray_crop_parity(p, crop)
+
+
+def test_vfr_fixture_roundtrip(tmp_path):
+    """swt_av_write_test_pts (r5): a genuinely variable-frame-rate MP4 must
+    (a) decode every frame in order through BOTH backends, (b) report an
+    AVERAGE fps equal to n_frames / span (the only rate a VFR container
+    has; the reference's CAP_PROP_FPS sees the same), and (c) round-trip
+    the pixel content like the CFR writer does."""
+    import cv2
+
+    video = make_video(seed=9, n_frames=30, n_entering=1)
+    rng = np.random.default_rng(5)
+    durs = rng.uniform(1.0 / 40, 1.0 / 22, 30)
+    pts = np.concatenate([[0.0], np.cumsum(durs[:-1])])
+    p = tmp_path / "vfr.mp4"
+    if not native_av.write_test_video_vfr(p, video.frames, pts):
+        pytest.skip("no H.264 encoder on this host")
+
+    rd = native_av.AVReader.open(p)
+    assert rd is not None
+    assert rd.n_frames == 30
+    # average rate: container duration spans pts[-1] + last duration
+    expect_fps = 30 / (pts[-1] + durs[-1])
+    assert abs(rd.fps - expect_fps) / expect_fps < 0.02, (rd.fps, expect_fps)
+
+    cap = cv2.VideoCapture(str(p))
+    n_av = n_cv = 0
+    while True:
+        f_av = rd.read()
+        ok, f_cv = cap.read()
+        assert (f_av is None) == (not ok)
+        if f_av is None:
+            break
+        # both FFmpeg builds must surface identical decoded pixels
+        assert np.array_equal(f_av, f_cv)
+        n_av += 1
+        n_cv += 1
+    cap.release()
+    rd.close()
+    assert n_av == 30
+
+
+def test_vfr_writer_rejects_bad_pts(tmp_path):
+    video = make_video(seed=9, n_frames=5, n_entering=0)
+    with pytest.raises(ValueError):
+        native_av.write_test_video_vfr(
+            tmp_path / "bad.mp4", video.frames, [0.0, 0.1, 0.1, 0.2, 0.3]
+        )
+    with pytest.raises(ValueError):
+        native_av.write_test_video_vfr(
+            tmp_path / "bad2.mp4", video.frames, [0.0, 0.1, 0.2]
+        )
