@@ -545,6 +545,13 @@ def main():
     # interface, so the end-to-end number is transfer-bound here).
     r_fps = resident_fps(dataclasses.replace(cfg, batch_windows=64), video, frames=13440)
     rt_fps = resident_tracked_fps(dataclasses.replace(cfg, batch_windows=32), video)
+    # Same pipeline with the opt-in fixed-trip IALM perf knob (NOT the
+    # shipped default: dynamic stopping is the reference's semantics —
+    # see RPCA_FIXED_AB_r05.json for the solver A/B and
+    # RPCA_FIXED_COUNTS_r05.json for the knob's event-level safety).
+    rtf_fps = resident_tracked_fps(
+        dataclasses.replace(cfg, batch_windows=32, rpca_fixed_iters=15), video
+    )
     s_fps, mesh_shape = sharded_resident_fps(
         dataclasses.replace(cfg, batch_windows=64), video
     )
@@ -590,6 +597,7 @@ def main():
                 "resident_frames_per_sec": round(r_fps, 2),
                 "resident_vs_baseline": round(r_fps / BASELINE_FPS, 4),
                 "resident_tracked_frames_per_sec": round(rt_fps, 2),
+                "resident_tracked_fixed_rpca_frames_per_sec": round(rtf_fps, 2),
                 "sharded_resident_frames_per_sec": round(s_fps, 2),
                 "sharded_mesh": list(mesh_shape),
                 "e2e_from_container_fps": fc_fps,
@@ -603,8 +611,12 @@ def main():
                     "(device tracker, auto wire codec); resident = on-chip "
                     "localization throughput; resident_tracked = "
                     "localization + the on-device tracking scan (the full "
-                    "pipeline's chip rate); sharded_resident = same windows "
-                    "through the shard_map path on the full device mesh"
+                    "pipeline's chip rate); resident_tracked_fixed_rpca = "
+                    "the same with the OPT-IN rpca_fixed_iters=15 perf knob "
+                    "(dynamic stopping stays the default for reference "
+                    "parity; RPCA_FIXED_AB_r05.json); sharded_resident = "
+                    "same windows through the shard_map path on the full "
+                    "device mesh"
                 ),
             }
         )
