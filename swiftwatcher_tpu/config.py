@@ -172,8 +172,14 @@ class PipelineConfig:
     # dynamic loop when every window's dynamic count equals this value
     # (measured production behavior: spread ZERO at 15 iters on the bench
     # scene), DIVERGENT otherwise — so default 0 keeps the reference-exact
-    # dynamic stopping (image_filtering.py:256-301).  A/B:
-    # tools/rpca_fixed_ab.py.
+    # dynamic stopping (image_filtering.py:256-301).  Measured on chip:
+    # 1.353x solver speedup (RPCA_FIXED_AB_r05.json); zero event-count
+    # divergence across a 40-scene campaign (RPCA_FIXED_COUNTS_r05.json).
+    # CAVEAT: windows whose dynamic count would EXCEED this value get an
+    # under-converged motion estimate (the risky direction — extra
+    # iterations only refine); validate per deployment with
+    # tools/rpca_fixed_ab.py's precheck (it reports the scene's dynamic
+    # min/max) before enabling on new footage.
     rpca_fixed_iters: int = 0
     # Decode HDF5 JPEG frames with the native C++ pump straight to cropped
     # grayscale (threaded libjpeg, off the GIL).  Opt-in: system libjpeg's
