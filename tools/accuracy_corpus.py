@@ -144,6 +144,10 @@ def run_scene(name: str, spec: dict, workdir: Path, granularity: str,
 
     cfg = (dataclasses.replace(DEFAULT_CONFIG, **overrides)
            if overrides else DEFAULT_CONFIG)
+    # callers pass nested tempdir paths that may not exist yet (the seed
+    # sweep uses <td>/base and <td>/pack); the H.264 route writes the
+    # container here BEFORE run_video would create anything
+    workdir.mkdir(parents=True, exist_ok=True)
     spec = dict(spec)
     recompress = spec.pop("recompress", False)
     vfr = spec.pop("vfr", False)

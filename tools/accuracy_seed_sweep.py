@@ -78,6 +78,12 @@ def main(argv=None) -> int:
                                  args.granularity)
                 pack = run_scene(name, spec, Path(td) / "pack",
                                  args.granularity, overrides=overrides)
+            if base is None or pack is None:
+                # run_scene's only None path: the H.264 route found no
+                # encoder on this host — scene unusable for every seed
+                print(f"{name}: skipped (no H.264 encoder on this host)")
+                rows = []
+                break
             row = {"seed": spec["seed"]}
             for kind in KINDS:
                 b, p = base["scores"][kind], pack["scores"][kind]
@@ -89,6 +95,9 @@ def main(argv=None) -> int:
                   f"{rows[-1]['detection']['pack_f1']:.4f}   det+class "
                   f"{rows[-1][KINDS[1]]['base_f1']:.4f} -> "
                   f"{rows[-1][KINDS[1]]['pack_f1']:.4f}")
+        if not rows:
+            out["scenes"][name] = {"skipped": "no H.264 encoder on this host"}
+            continue
         scene = {"seeds": rows}
         for kind in KINDS:
             b = np.array([r[kind]["base_f1"] for r in rows])
@@ -104,7 +113,7 @@ def main(argv=None) -> int:
         out["scenes"][name] = scene
 
     for kind in KINDS:
-        rows = [s[kind] for s in out["scenes"].values()]
+        rows = [s[kind] for s in out["scenes"].values() if kind in s]
         out.setdefault("AVG", {})[kind] = {
             "base_mean_f1": round(float(np.mean(
                 [r["base_mean_f1"] for r in rows])), 4),
