@@ -76,13 +76,29 @@ def _counts(res) -> dict:
 
 
 def run_campaign(scenes: int, campaign_seed: int = 20260820,
-                 out: str | None = None, classify_every: int = 5) -> dict:
+                 out: str | None = None, classify_every: int = 5,
+                 pack_every: int = 0) -> dict:
     """Run the campaign; returns the summary dict (also written to `out`
-    after EVERY scene so a crash loses at most the in-flight scene)."""
+    after EVERY scene so a crash loses at most the in-flight scene).
+
+    pack_every > 0 additionally runs every pack_every'th scene with the
+    ACCURACY_PACK_OVERRIDES applied to BOTH trackers and asserts
+    device-vs-host mutual equality: the pack intentionally changes counts
+    (so the reference oracle cannot score it), but the two tracker
+    implementations must still agree event-for-event under it."""
     rng = np.random.default_rng(campaign_seed)
     results = []
     mismatches = 0
     t_start = time.perf_counter()
+
+    cfg_pack = None
+    if pack_every > 0:
+        from swiftwatcher_tpu.config import (
+            ACCURACY_PACK_OVERRIDES,
+            config_with_overrides,
+        )
+
+        cfg_pack = config_with_overrides(list(ACCURACY_PACK_OVERRIDES))
 
     clf = None
     if classify_every > 0:
@@ -97,6 +113,7 @@ def run_campaign(scenes: int, campaign_seed: int = 20260820,
             mismatches=mismatches,
             campaign_seed=campaign_seed,
             classify_every=classify_every,
+            pack_every=pack_every,
             elapsed_s=round(time.perf_counter() - t_start, 1),
             note=(
                 "Randomized e2e parity fuzz: run_video (alternating device/"
@@ -104,9 +121,14 @@ def run_campaign(scenes: int, campaign_seed: int = 20260820,
                 "equality on predicted/rejected totals AND sorted event "
                 "frame numbers.  Every classify_every'th scene also runs "
                 "both trackers with the shipped SqueezeNet filter and "
-                "asserts device-vs-host mutual equality.  The oracle is "
-                "itself differentially validated against the real reference "
-                "code (tests/test_reference_differential.py)."
+                "asserts device-vs-host mutual equality.  When pack_every "
+                "> 0, every pack_every'th scene also runs both trackers "
+                "with the ACCURACY_PACK_OVERRIDES applied and asserts "
+                "device-vs-host mutual equality under the pack (the pack "
+                "intentionally changes counts, so the oracle cannot score "
+                "it).  The oracle is itself differentially validated "
+                "against the real reference code "
+                "(tests/test_reference_differential.py)."
             ),
             results=results,
         )
@@ -133,6 +155,20 @@ def run_campaign(scenes: int, campaign_seed: int = 20260820,
         ok = ours == oracle
         row = dict(scene=i, tracker=tracker, ok=ok, params=params,
                    ours=ours, oracle=oracle)
+        if cfg_pack is not None and i % pack_every == 0:
+            pd_ = run_video(
+                ArraySource(video.frames, fps=video.fps), video.corners,
+                cfg_pack, tracker_impl="device",
+            )
+            ph = run_video(
+                ArraySource(video.frames, fps=video.fps), video.corners,
+                cfg_pack, tracker_impl="host",
+            )
+            row["pack_device"] = _counts(pd_)
+            row["pack_host"] = _counts(ph)
+            row["pack_ok"] = row["pack_device"] == row["pack_host"]
+            ok = ok and row["pack_ok"]
+            row["ok"] = ok
         if clf is not None and i % classify_every == 0:
             cd = run_video(
                 ArraySource(video.frames, fps=video.fps), video.corners,
@@ -169,9 +205,13 @@ def main() -> None:
     ap.add_argument("--classify-every", type=int, default=5,
                     help="every Nth scene also fuzzes the classify path "
                     "(device vs host tracker mutual equality); 0 disables")
+    ap.add_argument("--pack-every", type=int, default=0,
+                    help="every Nth scene also fuzzes device-vs-host "
+                    "mutual equality with the accuracy pack applied; "
+                    "0 disables")
     args = ap.parse_args()
     summary = run_campaign(args.scenes, args.campaign_seed, args.out,
-                           args.classify_every)
+                           args.classify_every, args.pack_every)
     sys.exit(1 if summary["mismatches"] else 0)
 
 
