@@ -392,3 +392,13 @@ def test_export_single_class_events(tmp_path):
     total = export_results(tmp_path / "all_rej", labels(0), 30.0, 0, 63)
     assert total == 0
     assert (tmp_path / "all_rej" / "0-swifts_full_sec.csv").is_file()
+
+
+def test_doc_artifact_consistency():
+    """Docs <-> artifacts drift guard (VERDICT r4 weakness #6): every
+    artifact filename mentioned in README/CLAUDE.md exists, and every
+    headline number quoted in README re-derives from its named artifact
+    (tools/doc_check.py)."""
+    import tools.doc_check as doc_check
+
+    assert doc_check.run() == []
